@@ -1,0 +1,58 @@
+"""littlemcmc_tpu: a TPU-native HMC/NUTS inference engine.
+
+A from-scratch re-design of littlemcmc (the reference package) for TPU:
+pure-function transition kernels over immutable pytree states, compiled
+once by XLA, ``vmap``-ed over thousands of chains, driven by ``lax.scan``,
+and sharded over a ``chains`` mesh axis for multi-chip / multi-host runs.
+
+Public API mirrors the reference's ``littlemcmc/__init__.py:19-29``.
+"""
+
+__version__ = "0.1.0"
+
+from .sampling import sample, init_nuts, NUTS, HamiltonianMC
+from .quadpotential import (
+    quad_potential,
+    QuadPotentialDiag,
+    QuadPotentialFull,
+    QuadPotentialFullInv,
+    QuadPotentialDiagAdapt,
+    QuadPotentialFullAdapt,
+)
+from .base import NUTSConfig, HMCConfig, ChainState, init_chain_state
+from .nuts import build_nuts_kernel, NUTSInfo
+from .hmc import build_hmc_kernel, HMCInfo
+from .model import as_logp_grad, from_logp_fn, from_numpy_callable, from_torch_callable
+from .report import SamplerWarning, WarningType, warnings_from_stats
+from .exceptions import SamplingError, IntegrationError
+
+__all__ = [
+    "__version__",
+    "sample",
+    "init_nuts",
+    "NUTS",
+    "HamiltonianMC",
+    "quad_potential",
+    "QuadPotentialDiag",
+    "QuadPotentialFull",
+    "QuadPotentialFullInv",
+    "QuadPotentialDiagAdapt",
+    "QuadPotentialFullAdapt",
+    "NUTSConfig",
+    "HMCConfig",
+    "ChainState",
+    "init_chain_state",
+    "build_nuts_kernel",
+    "build_hmc_kernel",
+    "NUTSInfo",
+    "HMCInfo",
+    "as_logp_grad",
+    "from_logp_fn",
+    "from_numpy_callable",
+    "from_torch_callable",
+    "SamplerWarning",
+    "WarningType",
+    "warnings_from_stats",
+    "SamplingError",
+    "IntegrationError",
+]

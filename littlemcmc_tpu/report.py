@@ -1,0 +1,116 @@
+"""Sampler warnings, generated post-hoc from gathered stats arrays.
+
+The warning taxonomy matches the reference's ``littlemcmc/report.py:20-37``.
+Because the TPU samplers run entirely on device inside ``lax.scan``,
+warnings are not accumulated per draw; instead :func:`warnings_from_stats`
+reproduces the reference's end-of-run aggregation (``base_hmc.py:202-230``,
+``nuts.py:226-238``, ``step_sizes.py:101-121``) from the ``(chains, draws)``
+stats arrays.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections import namedtuple
+from typing import Dict, List, Optional
+
+import numpy as np
+
+__all__ = ["SamplerWarning", "WarningType", "warnings_from_stats"]
+
+SamplerWarning = namedtuple("SamplerWarning", "kind, message, level, step, exec_info, extra")
+
+
+@enum.unique
+class WarningType(enum.Enum):
+    """Enumeration of sampler warnings (parity with reference ``report.py:23-37``)."""
+
+    # For HMC and NUTS
+    DIVERGENCE = 1
+    TUNING_DIVERGENCE = 2
+    DIVERGENCES = 3
+    TREEDEPTH = 4
+    # Problematic sampler parameters
+    BAD_PARAMS = 5
+    # Indications that chains did not converge, eg Rhat
+    CONVERGENCE = 6
+    BAD_ACCEPTANCE = 7
+    BAD_ENERGY = 8
+
+
+def _beta_interval_95(n_good: float, n_bad: float):
+    """Central 95% interval of Beta(n_good+1, n_bad+1) without scipy.
+
+    Uses a normal approximation to the Beta quantiles, adequate for the
+    heuristic acceptance-rate check (reference ``step_sizes.py:106-110``
+    uses exact scipy quantiles; the decision boundary differs negligibly).
+    """
+    a, b = n_good + 1.0, n_bad + 1.0
+    mean = a / (a + b)
+    var = a * b / ((a + b) ** 2 * (a + b + 1.0))
+    half = 1.959964 * np.sqrt(var)
+    return max(0.0, mean - half), min(1.0, mean + half)
+
+
+def warnings_from_stats(
+    stats: Dict[str, np.ndarray],
+    *,
+    target_accept: float = 0.8,
+    max_treedepth: Optional[int] = None,
+    tune: int = 0,
+) -> List[SamplerWarning]:
+    """Aggregate end-of-run warnings from ``(chains, draws)`` stats arrays.
+
+    ``stats`` holds only post-tune draws (the default ``sample()`` output).
+    Reproduces the divergence-count warning (``base_hmc.py:206-227``), the
+    NUTS tree-depth warning (``nuts.py:226-238``), and the dual-averaging
+    acceptance-interval warning (``step_sizes.py:101-121``).
+    """
+    warns: List[SamplerWarning] = []
+
+    diverging = np.asarray(stats.get("diverging"))
+    n_samples = diverging.size
+    n_divs = int(diverging.sum())
+    message = ""
+    if n_divs and n_samples == n_divs:
+        message = "The chain contains only diverging samples. The model is probably misspecified."
+    elif n_divs == 1:
+        message = "There was 1 divergence after tuning. Increase `target_accept` or reparameterize."
+    elif n_divs > 1:
+        message = (
+            "There were %s divergences after tuning. Increase "
+            "`target_accept` or reparameterize." % n_divs
+        )
+    if message:
+        warns.append(SamplerWarning(WarningType.DIVERGENCES, message, "error", None, None, None))
+
+    if max_treedepth is not None and "reached_max_treedepth" in stats:
+        hit = np.asarray(stats["reached_max_treedepth"])
+        if hit.size > 0 and hit.mean() > 0.05:
+            msg = (
+                "The chain reached the maximum tree depth. Increase "
+                "max_treedepth, increase target_accept or reparameterize."
+            )
+            warns.append(SamplerWarning(WarningType.TREEDEPTH, msg, "warn", None, None, None))
+
+    accept_key = "mean_tree_accept" if "mean_tree_accept" in stats else "accept"
+    if accept_key in stats:
+        accept = np.asarray(stats[accept_key], dtype=np.float64).ravel()
+        if accept.size:
+            mean_accept = float(accept.mean())
+            n_bound = min(100, accept.size)
+            lower, upper = _beta_interval_95(
+                mean_accept * n_bound, (1.0 - mean_accept) * n_bound
+            )
+            if target_accept < lower or target_accept > upper:
+                msg = (
+                    "The acceptance probability does not match the target. It "
+                    "is %s, but should be close to %s. Try to increase the "
+                    "number of tuning steps." % (mean_accept, target_accept)
+                )
+                info = {"target": target_accept, "actual": mean_accept}
+                warns.append(
+                    SamplerWarning(WarningType.BAD_ACCEPTANCE, msg, "warn", None, None, info)
+                )
+
+    return warns

@@ -1,0 +1,471 @@
+"""Sampling driver: the public ``sample()`` / ``init_nuts()`` entry points.
+
+TPU-native re-architecture of the reference's ``littlemcmc/sampling.py``
+and ``parallel_sampling.py``. The reference runs chains as OS processes in
+a lock-step pipe protocol (one Python ``_astep`` per draw per chain,
+``parallel_sampling.py:161-200``); here *all* chains advance together as
+one ``lax.scan`` over draws of a ``vmap``-ed transition kernel, compiled
+once by XLA, optionally sharded over a ``chains`` mesh axis so the same
+program runs on 1 chip or a multi-host pod slice. The host only sees the
+final ``(chains, draws, ndim)`` trace and ``(chains, draws)`` stats.
+
+Output shapes and stats names match the reference (``sampling.py:207-220``).
+
+Note the reference's multiprocessing path is broken (draws never leave the
+worker's shared-memory buffer — see SURVEY.md §2); parity targets are the
+reference's sequential (``cores=1``) path.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Callable, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .base import ChainState, HMCConfig, NUTSConfig, init_chain_state
+from .hmc import HMCInfo, build_hmc_kernel
+from .model import as_logp_grad
+from .nuts import NUTSInfo, build_nuts_kernel
+from .quadpotential import (
+    QuadPotentialDiagAdapt,
+    QuadPotentialFullAdapt,
+    isquadpotential,
+    quad_potential,
+)
+
+__all__ = ["NUTS", "HamiltonianMC", "sample", "init_nuts"]
+
+_log = logging.getLogger("littlemcmc_tpu")
+
+LogpGradFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
+
+
+class _StepSpec:
+    """Base for user-facing step-method specs.
+
+    Unlike the reference's stateful step objects (``base_hmc.py:29``),
+    these are pure *specifications*: a frozen kernel config plus an
+    optional metric. All mutable sampler state lives in the ``ChainState``
+    pytree owned by the driver.
+    """
+
+    def __init__(
+        self,
+        logp_dlogp_func=None,
+        model_ndim: Optional[int] = None,
+        scaling=None,
+        is_cov: bool = False,
+        potential=None,
+    ):
+        if scaling is not None and potential is not None:
+            raise ValueError("Cannot specify both `potential` and `scaling`.")
+        if potential is not None and not isquadpotential(potential):
+            raise ValueError("`potential` must be a littlemcmc_tpu quadpotential.")
+        self.potential = (
+            potential if potential is not None else (
+                quad_potential(scaling, is_cov) if scaling is not None else None
+            )
+        )
+        self.logp_dlogp_func = logp_dlogp_func
+        self.model_ndim = model_ndim
+
+
+class NUTS(_StepSpec):
+    """No-U-Turn sampler spec (constructor parity with reference ``nuts.py:103-121``)."""
+
+    name = "nuts"
+    generates_stats = True
+    stats_dtypes = [
+        {
+            "depth": np.int64,
+            "step_size": np.float64,
+            "tune": np.bool_,
+            "mean_tree_accept": np.float64,
+            "step_size_bar": np.float64,
+            "tree_size": np.float64,
+            "diverging": np.bool_,
+            "energy_error": np.float64,
+            "energy": np.float64,
+            "max_energy_error": np.float64,
+            "model_logp": np.float64,
+            "reached_max_treedepth": np.bool_,
+        }
+    ]
+
+    def __init__(
+        self,
+        logp_dlogp_func=None,
+        model_ndim: Optional[int] = None,
+        scaling=None,
+        is_cov: bool = False,
+        potential=None,
+        target_accept: float = 0.8,
+        Emax: float = 1000,
+        adapt_step_size: bool = True,
+        step_scale: float = 0.25,
+        gamma: float = 0.05,
+        k: float = 0.75,
+        t0: int = 10,
+        step_rand=None,
+        path_length: float = 2.0,
+        max_treedepth: int = 10,
+        early_max_treedepth: int = 8,
+    ):
+        super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
+        del path_length  # accepted for constructor parity; NUTS does not use it
+        self.config = NUTSConfig(
+            target_accept=float(target_accept),
+            Emax=float(Emax),
+            adapt_step_size=bool(adapt_step_size),
+            step_scale=float(step_scale),
+            gamma=float(gamma),
+            k=float(k),
+            t0=float(t0),
+            step_rand=step_rand,
+            max_treedepth=int(max_treedepth),
+            early_max_treedepth=int(early_max_treedepth),
+        )
+
+    def build_kernel(self, logp_grad_fn: LogpGradFn):
+        return build_nuts_kernel(logp_grad_fn, self.config)
+
+
+class HamiltonianMC(_StepSpec):
+    """Classic HMC spec (constructor parity with reference ``hmc.py:52-69``)."""
+
+    name = "hmc"
+    generates_stats = True
+    stats_dtypes = [
+        {
+            "step_size": np.float64,
+            "n_steps": np.int64,
+            "tune": np.bool_,
+            "step_size_bar": np.float64,
+            "accept": np.float64,
+            "diverging": np.bool_,
+            "energy_error": np.float64,
+            "energy": np.float64,
+            "path_length": np.float64,
+            "accepted": np.bool_,
+            "model_logp": np.float64,
+        }
+    ]
+
+    def __init__(
+        self,
+        logp_dlogp_func=None,
+        model_ndim: Optional[int] = None,
+        scaling=None,
+        is_cov: bool = False,
+        potential=None,
+        target_accept: float = 0.8,
+        Emax: float = 1000,
+        adapt_step_size: bool = True,
+        step_scale: float = 0.25,
+        gamma: float = 0.05,
+        k: float = 0.75,
+        t0: int = 10,
+        step_rand=None,
+        path_length: float = 2.0,
+        max_steps: int = 1024,
+    ):
+        super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
+        self.config = HMCConfig(
+            target_accept=float(target_accept),
+            Emax=float(Emax),
+            adapt_step_size=bool(adapt_step_size),
+            step_scale=float(step_scale),
+            gamma=float(gamma),
+            k=float(k),
+            t0=float(t0),
+            step_rand=step_rand,
+            path_length=float(path_length),
+            max_steps=int(max_steps),
+        )
+
+    def build_kernel(self, logp_grad_fn: LogpGradFn):
+        return build_hmc_kernel(logp_grad_fn, self.config)
+
+
+def _make_adaptive_potential(ndim: int, mean: jax.Array, full: bool, dtype):
+    """Default adaptive metric as built by ``init_nuts`` (``sampling.py:578-597``)."""
+    if full:
+        return QuadPotentialFullAdapt.create(
+            ndim, initial_mean=mean, initial_cov=jnp.eye(ndim, dtype=dtype),
+            initial_weight=10.0, dtype=dtype,
+        )
+    return QuadPotentialDiagAdapt.create(
+        ndim, initial_mean=mean, initial_diag=jnp.ones(ndim, dtype=dtype),
+        initial_weight=10.0, dtype=dtype,
+    )
+
+
+def init_nuts(
+    logp_dlogp_func=None,
+    model_ndim: Optional[int] = None,
+    init: str = "auto",
+    random_seed: Union[None, int, List[int]] = None,
+    logp_fn=None,
+    dtype=jnp.float32,
+    **kwargs,
+):
+    """Set up mass-matrix initialization for NUTS (reference ``sampling.py:524-605``).
+
+    Returns ``(start, step)`` where ``start`` is a single ``(ndim,)``
+    starting point and ``step`` is a :class:`NUTS` spec carrying the
+    adaptive potential. ``sample()`` itself jitters *per chain* (an
+    improvement over the reference, which reuses one jittered start for
+    every chain — ``sampling.py:163-164``).
+    """
+    if not isinstance(init, str):
+        raise TypeError("init must be a string.")
+    init = init.lower()
+    if init == "auto":
+        init = "jitter+adapt_diag"
+    _log.info("Initializing NUTS using %s...", init)
+
+    if init not in ("adapt_diag", "jitter+adapt_diag", "adapt_full", "jitter+adapt_full"):
+        raise ValueError("Unknown initializer: {}.".format(init))
+
+    if model_ndim is None:
+        raise ValueError("model_ndim is required.")
+
+    seed = _as_seed(random_seed)
+    key = jax.random.key(seed)
+    jitter = init.startswith("jitter")
+    full = init.endswith("adapt_full")
+
+    if jitter:
+        start = 2.0 * jax.random.uniform(key, (model_ndim,), dtype) - 1.0
+    else:
+        start = jnp.zeros(model_ndim, dtype)
+
+    potential = _make_adaptive_potential(model_ndim, start, full, dtype)
+    step = NUTS(
+        logp_dlogp_func=logp_dlogp_func,
+        model_ndim=model_ndim,
+        potential=potential,
+        **kwargs,
+    )
+    return start, step
+
+
+def _as_seed(random_seed) -> int:
+    if random_seed is None:
+        return int(np.random.randint(2 ** 30))
+    if isinstance(random_seed, (int, np.integer)):
+        return int(random_seed)
+    # A list of per-chain seeds (reference API); fold into one master seed.
+    return int(np.atleast_1d(np.asarray(random_seed))[0])
+
+
+def _broadcast_potential(potential, chains: int):
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (chains,) + jnp.shape(x)), potential
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _make_init_fn(config, logp_grad, model_ndim: int, full: bool, dtype, has_potential: bool):
+    """Jitted, vmapped per-chain state initializer (cached per config)."""
+    if has_potential:
+        def init_one(k, q0, pot):
+            return init_chain_state(k, q0, pot, config, logp_grad)
+    else:
+        def init_one(k, q0):
+            pot = _make_adaptive_potential(model_ndim, q0, full, dtype)
+            return init_chain_state(k, q0, pot, config, logp_grad)
+
+    return jax.jit(jax.vmap(init_one))
+
+
+@functools.lru_cache(maxsize=256)
+def _make_runner(kernel, tune: int, draws: int, collect_tune: bool):
+    """Jitted two-phase (tune, draw) scan over the vmapped kernel.
+
+    Cached on the kernel object (itself memoized per ``(model, config)``)
+    plus the phase lengths, so repeated ``sample()`` calls with identical
+    shapes hit jax's jit cache instead of recompiling.
+    """
+    batched_kernel = jax.vmap(kernel, in_axes=(0, None))
+
+    def phase(states, n_steps: int, tuning: bool, collect: bool):
+        def body(s, _):
+            s2, info = batched_kernel(s, jnp.asarray(tuning))
+            return s2, ((s2.q, info) if collect else None)
+
+        return lax.scan(body, states, length=n_steps)
+
+    @jax.jit
+    def run(states):
+        states, tune_out = phase(states, tune, True, collect_tune)
+        states, draw_out = phase(states, draws, False, True)
+        return states, tune_out, draw_out
+
+    return run
+
+
+def sample(
+    logp_dlogp_func=None,
+    model_ndim: Optional[int] = None,
+    draws: int = 1000,
+    tune: int = 1000,
+    step: Union[NUTS, HamiltonianMC, None] = None,
+    init: str = "auto",
+    chains: Optional[int] = None,
+    cores: Optional[int] = None,
+    start=None,
+    progressbar: Union[bool, str] = True,
+    random_seed: Optional[Union[int, List[int]]] = None,
+    discard_tuned_samples: bool = True,
+    chain_idx: int = 0,
+    callback=None,
+    logp_fn=None,
+    mesh: Optional[Mesh] = None,
+    chain_axis: str = "chains",
+    dtype=jnp.float32,
+    return_final_state: bool = False,
+    **kwargs,
+):
+    """Draw posterior samples with NUTS (default) or HMC, fully on device.
+
+    Signature-compatible in spirit with the reference ``sample()``
+    (``sampling.py:35-53``). Differences, all TPU-motivated:
+
+    - ``cores`` is accepted but ignored: chains are vectorized on device
+      (``vmap``) rather than forked into OS processes; use ``chains`` (and
+      optionally ``mesh``) to scale.
+    - ``mesh``: a ``jax.sharding.Mesh`` with a ``chain_axis`` axis; the
+      chain batch is sharded over it (single- or multi-host). ``chains``
+      must be divisible by the mesh size.
+    - ``logp_fn``: alternatively to ``logp_dlogp_func``, a scalar JAX
+      log-density, differentiated with ``jax.value_and_grad``.
+    - models must be JAX-traceable; wrap host callables with
+      :func:`littlemcmc_tpu.model.from_numpy_callable`.
+
+    Returns ``(trace, stats)``: ``trace`` has shape ``(chains, draws,
+    model_ndim)``; ``stats`` maps stat names to ``(chains, draws)`` arrays
+    with the reference's dtypes (``nuts.py:87-101``, ``hmc.py:36-50``).
+    """
+    del callback, chain_idx  # accepted for API parity
+    if cores is not None:
+        _log.info("`cores` is ignored on TPU; chains are vectorized on device.")
+    if chains is None:
+        chains = 4
+    if model_ndim is None:
+        if step is not None and step.model_ndim is not None:
+            model_ndim = step.model_ndim
+        else:
+            raise ValueError("model_ndim is required.")
+
+    if draws == 0:
+        _log.warning("Tuning was enabled throughout the whole trace.")
+    elif draws < 500:
+        _log.warning("Only %s samples in chain.", draws)
+
+    logp_grad = as_logp_grad(
+        logp_dlogp_func if logp_dlogp_func is not None
+        else (step.logp_dlogp_func if step is not None else None),
+        logp_fn,
+    )
+
+    seed = _as_seed(random_seed)
+    key = jax.random.key(seed)
+    k_init, k_chains = jax.random.split(key)
+
+    # --- Resolve the step spec and init method --------------------------
+    init_l = (init or "auto").lower()
+    if init_l == "auto":
+        init_l = "jitter+adapt_diag"
+    if init_l not in ("adapt_diag", "jitter+adapt_diag", "adapt_full", "jitter+adapt_full"):
+        raise ValueError("Unknown initializer: {}.".format(init))
+    jitter = init_l.startswith("jitter")
+    full = init_l.endswith("adapt_full")
+    if step is None:
+        step = NUTS(model_ndim=model_ndim, **kwargs)
+
+    # --- Per-chain starting points --------------------------------------
+    if start is not None:
+        start = jnp.asarray(start, dtype)
+        if start.ndim == 1:
+            starts = jnp.broadcast_to(start, (chains, model_ndim))
+        else:
+            if start.shape != (chains, model_ndim):
+                raise ValueError(
+                    f"start must have shape ({chains}, {model_ndim}), got {start.shape}"
+                )
+            starts = start
+    elif jitter:
+        starts = 2.0 * jax.random.uniform(k_init, (chains, model_ndim), dtype) - 1.0
+    else:
+        starts = jnp.zeros((chains, model_ndim), dtype)
+
+    # --- Per-chain potentials and states ---------------------------------
+    # The whole init is jitted: eager op-by-op dispatch is slow enough on
+    # some backends to dominate short runs.
+    chain_keys = jax.random.split(k_chains, chains)
+    has_potential = step.potential is not None
+    init_fn = _make_init_fn(step.config, logp_grad, model_ndim, full, dtype, has_potential)
+    if has_potential:
+        states0 = init_fn(chain_keys, starts, _broadcast_potential(step.potential, chains))
+    else:
+        states0 = init_fn(chain_keys, starts)
+
+    if mesh is not None:
+        if chains % mesh.size != 0:
+            raise ValueError(
+                f"chains ({chains}) must be divisible by mesh size ({mesh.size})"
+            )
+        sharding = NamedSharding(mesh, P(chain_axis))
+        states0 = jax.tree.map(lambda x: jax.device_put(x, sharding), states0)
+
+    # Fail fast on a bad initial point, like the reference's "Bad initial
+    # energy" check (``base_hmc.py:145-148``) but for all chains at once.
+    init_logp = states0.logp
+    if bool(jax.device_get(jnp.any(~jnp.isfinite(init_logp)))):
+        raise ValueError(
+            "Bad initial energy: model log-probability is not finite at the "
+            "starting point. The model might be misspecified."
+        )
+
+    # --- The compiled sampling program -----------------------------------
+    kernel = step.build_kernel(logp_grad)
+    collect_tune = not discard_tuned_samples
+    run = _make_runner(kernel, tune, draws, collect_tune)
+
+    if progressbar:
+        _log.info(
+            "Sampling %d chains (%d tune + %d draws, vectorized on %s)...",
+            chains, tune, draws, jax.devices()[0].platform,
+        )
+    t0 = time.perf_counter()
+    final_states, tune_out, draw_out = run(states0)
+    jax.block_until_ready(draw_out)
+    elapsed = time.perf_counter() - t0
+    if progressbar:
+        total = chains * (tune + draws)
+        _log.info("Done in %.2fs (%.0f transitions/s).", elapsed, total / elapsed)
+
+    # --- Assemble host-side outputs --------------------------------------
+    outs = ([tune_out] if collect_tune else []) + [draw_out]
+    qs = np.concatenate([np.asarray(jax.device_get(o[0])) for o in outs], axis=0)
+    trace = np.transpose(qs, (1, 0, 2))  # (chains, draws, ndim)
+
+    stats = {}
+    dtypes = step.stats_dtypes[0]
+    info_fields = outs[0][1]._fields
+    for name in info_fields:
+        arrays = [np.asarray(jax.device_get(getattr(o[1], name))) for o in outs]
+        arr = np.concatenate(arrays, axis=0).T  # (chains, draws)
+        stats[name] = arr.astype(dtypes.get(name, arr.dtype))
+
+    if return_final_state:
+        return trace, stats, final_states
+    return trace, stats

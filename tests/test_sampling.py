@@ -1,0 +1,249 @@
+"""End-to-end sampling tests: shapes, dtypes, statistical recovery.
+
+Modeled on the reference's ``tests/test_sampling.py`` but with stronger
+gates: the reference asserts mean/std with atol=1 (``:114-115``); here we
+use MC-error-aware tolerances, and we test the *vectorized* multi-chain
+path statistically (the reference's multiprocessing path is broken and
+only shape-tested, SURVEY.md §2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import littlemcmc_tpu as lmc
+from tests.conftest import std_normal_logp_grad
+
+
+@pytest.mark.parametrize(
+    "init", ["adapt_diag", "jitter+adapt_diag", "adapt_full", "jitter+adapt_full"]
+)
+def test_init_nuts(init):
+    start, step = lmc.init_nuts(
+        logp_dlogp_func=std_normal_logp_grad, model_ndim=3, init=init, random_seed=42
+    )
+    assert start.shape == (3,)
+    assert isinstance(step, lmc.NUTS)
+    if init.endswith("full"):
+        assert isinstance(step.potential, lmc.QuadPotentialFullAdapt)
+    else:
+        assert isinstance(step.potential, lmc.QuadPotentialDiagAdapt)
+    if not init.startswith("jitter"):
+        np.testing.assert_array_equal(np.asarray(start), 0.0)
+
+
+def test_init_nuts_rejects_bad_init():
+    with pytest.raises(ValueError):
+        lmc.init_nuts(logp_dlogp_func=std_normal_logp_grad, model_ndim=1, init="foo")
+    with pytest.raises(TypeError):
+        lmc.init_nuts(logp_dlogp_func=std_normal_logp_grad, model_ndim=1, init=1)
+
+
+def test_nuts_trace_and_stats_shapes():
+    chains, draws, tune, ndim = 2, 60, 60, 3
+    trace, stats = lmc.sample(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=ndim,
+        draws=draws,
+        tune=tune,
+        chains=chains,
+        random_seed=42,
+        progressbar=False,
+    )
+    assert trace.shape == (chains, draws, ndim)
+    expected = lmc.NUTS.stats_dtypes[0]
+    for name, dtype in expected.items():
+        assert name in stats, name
+        assert stats[name].shape == (chains, draws), name
+        assert stats[name].dtype == np.dtype(dtype), name
+    assert not stats["tune"].any()
+    assert (stats["depth"] >= 1).all()
+    assert (stats["tree_size"] >= 1).all()
+
+
+def test_hmc_trace_and_stats_shapes():
+    chains, draws, tune, ndim = 2, 60, 60, 2
+    step = lmc.HamiltonianMC(model_ndim=ndim)
+    trace, stats = lmc.sample(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=ndim,
+        draws=draws,
+        tune=tune,
+        chains=chains,
+        step=step,
+        random_seed=1,
+        progressbar=False,
+    )
+    assert trace.shape == (chains, draws, ndim)
+    expected = lmc.HamiltonianMC.stats_dtypes[0]
+    for name, dtype in expected.items():
+        assert stats[name].shape == (chains, draws), name
+        assert stats[name].dtype == np.dtype(dtype), name
+    assert (stats["n_steps"] >= 1).all()
+    assert stats["accepted"].mean() > 0.4
+
+
+def test_keep_tuned_samples():
+    trace, stats = lmc.sample(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=1,
+        draws=40,
+        tune=30,
+        chains=2,
+        random_seed=0,
+        discard_tuned_samples=False,
+        progressbar=False,
+    )
+    assert trace.shape == (2, 70, 1)
+    assert stats["tune"].shape == (2, 70)
+    assert stats["tune"][:, :30].all()
+    assert not stats["tune"][:, 30:].any()
+
+
+def test_nuts_recovers_standard_normal():
+    """Posterior moment recovery within MC error (4 chains x 500 draws)."""
+    trace, stats = lmc.sample(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=1,
+        draws=500,
+        tune=500,
+        chains=4,
+        random_seed=42,
+        progressbar=False,
+    )
+    # ~2000 post-tune draws; NUTS on N(0,1) has near-independent draws, so
+    # the standard error of the mean is ~1/sqrt(2000) ~ 0.022.
+    assert abs(trace.mean()) < 0.12
+    assert abs(trace.std() - 1.0) < 0.12
+    assert stats["diverging"].sum() == 0
+    accept = stats["mean_tree_accept"].mean()
+    assert 0.6 < accept < 0.95
+    # per-chain variance is non-degenerate (ref test_sampling.py:133-140)
+    assert (trace.std(axis=(1, 2)) > 0.5).all()
+
+
+def test_hmc_recovers_standard_normal():
+    step = lmc.HamiltonianMC(model_ndim=1)
+    trace, _ = lmc.sample(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=1,
+        draws=500,
+        tune=500,
+        chains=4,
+        step=step,
+        random_seed=7,
+        progressbar=False,
+    )
+    assert abs(trace.mean()) < 0.15
+    assert abs(trace.std() - 1.0) < 0.15
+
+
+def test_reproducible_with_seed():
+    kwargs = dict(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=2,
+        draws=50,
+        tune=50,
+        chains=2,
+        random_seed=123,
+        progressbar=False,
+    )
+    t1, s1 = lmc.sample(**kwargs)
+    t2, s2 = lmc.sample(**kwargs)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(s1["depth"], s2["depth"])
+
+
+def test_chains_differ():
+    trace, _ = lmc.sample(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=2,
+        draws=50,
+        tune=50,
+        chains=2,
+        random_seed=5,
+        progressbar=False,
+    )
+    assert not np.allclose(trace[0], trace[1])
+
+
+def test_bad_initial_energy_raises():
+    def bad_logp(q):
+        return jnp.asarray(jnp.nan), q
+
+    with pytest.raises(ValueError, match="Bad initial energy"):
+        lmc.sample(
+            logp_dlogp_func=bad_logp,
+            model_ndim=1,
+            draws=10,
+            tune=10,
+            chains=2,
+            random_seed=0,
+            progressbar=False,
+        )
+
+
+def test_static_potential_and_scaling():
+    """scaling= / potential= arguments (reference base_hmc.py:115-120)."""
+    with pytest.raises(ValueError):
+        lmc.NUTS(model_ndim=1, scaling=np.ones(1), potential=lmc.QuadPotentialDiag.create(jnp.ones(1)))
+
+    step = lmc.NUTS(model_ndim=1, scaling=np.ones(1, np.float32), is_cov=True)
+    trace, _ = lmc.sample(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=1,
+        draws=100,
+        tune=100,
+        chains=2,
+        step=step,
+        random_seed=11,
+        progressbar=False,
+    )
+    assert abs(trace.mean()) < 0.35
+
+
+def test_sample_with_explicit_start():
+    start = np.array([[0.1], [0.2]], np.float32)
+    trace, _ = lmc.sample(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=1,
+        draws=50,
+        tune=50,
+        chains=2,
+        start=start,
+        random_seed=3,
+        progressbar=False,
+    )
+    assert trace.shape == (2, 50, 1)
+
+
+def test_logp_fn_autodiff_path():
+    def logp(q):
+        return -0.5 * jnp.sum(q ** 2)
+
+    trace, _ = lmc.sample(
+        logp_fn=logp,
+        model_ndim=2,
+        draws=50,
+        tune=50,
+        chains=2,
+        random_seed=4,
+        progressbar=False,
+    )
+    assert trace.shape == (2, 50, 2)
+
+
+def test_warnings_from_stats():
+    trace, stats = lmc.sample(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=1,
+        draws=500,
+        tune=500,
+        chains=4,
+        random_seed=42,
+        progressbar=False,
+    )
+    warns = lmc.warnings_from_stats(stats, target_accept=0.8, max_treedepth=10)
+    kinds = [w.kind for w in warns]
+    assert lmc.WarningType.DIVERGENCES not in kinds
