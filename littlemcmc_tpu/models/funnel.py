@@ -1,0 +1,48 @@
+"""Neal's funnel (BASELINE config 3): the divergence / step-size stress test."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["NealsFunnel"]
+
+
+class NealsFunnel:
+    """Neal's funnel: ``v ~ N(0, scale^2)``, ``x_i | v ~ N(0, exp(v/2)^2)``.
+
+    ``q[0] = v``, ``q[1:] = x``. Centered parameterization — NUTS at the
+    default ``target_accept=0.8`` should produce divergences in the neck,
+    which is exactly what this config stresses (tree depth, step-size
+    adaptation, divergence accounting).
+    """
+
+    def __init__(self, ndim: int = 10, scale: float = 3.0, dtype=jnp.float32):
+        assert ndim >= 2
+        self.ndim = int(ndim)
+        self.scale = float(scale)
+        self.dtype = dtype
+        # Exact marginals: v ~ N(0, scale^2); x_i has var E[exp(v)] = exp(scale^2/2)
+        self.true_mean = np.zeros(ndim)
+        self.true_var = np.concatenate(
+            [[scale ** 2], np.full(ndim - 1, np.exp(scale ** 2 / 2.0))]
+        )
+
+    def logp(self, q: jax.Array) -> jax.Array:
+        v, x = q[0], q[1:]
+        n_x = self.ndim - 1
+        logp_v = -0.5 * (v / self.scale) ** 2
+        # x_i ~ N(0, exp(v/2)^2): logpdf = -v/2 per dim - x^2 exp(-v) / 2
+        logp_x = -0.5 * n_x * v - 0.5 * jnp.sum(x * x) * jnp.exp(-v)
+        return logp_v + logp_x
+
+    def logp_grad(self, q: jax.Array):
+        v, x = q[0], q[1:]
+        n_x = self.ndim - 1
+        e = jnp.exp(-v)
+        sq = jnp.sum(x * x)
+        logp = -0.5 * (v / self.scale) ** 2 - 0.5 * n_x * v - 0.5 * sq * e
+        dv = -v / self.scale ** 2 - 0.5 * n_x + 0.5 * sq * e
+        dx = -x * e
+        return logp, jnp.concatenate([dv[None], dx])

@@ -1,0 +1,72 @@
+"""Gaussian targets: the 1-D quickstart model and the 100-d correlated Gaussian.
+
+BASELINE configs 1 and 2. The correlated Gaussian's ``logp_grad`` computes
+the gradient and the log-density in a *single* matrix-vector product
+(``grad = -Λ(q-μ)``, ``logp = ½ (q-μ)·grad + const``): one MXU matvec per
+evaluation instead of the forward+backward pair ``jax.value_and_grad``
+would issue. Batched over chains this is a single ``(C, n) @ (n, n)``
+matmul — exactly the shape the TPU MXU wants.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["StandardNormal", "CorrelatedGaussian"]
+
+
+class StandardNormal:
+    """iid standard normal in ``ndim`` dimensions (BASELINE config 1)."""
+
+    def __init__(self, ndim: int = 1, dtype=jnp.float32):
+        self.ndim = int(ndim)
+        self.dtype = dtype
+        # exact posterior moments, for tests/benchmarks
+        self.true_mean = np.zeros(ndim)
+        self.true_var = np.ones(ndim)
+
+    def logp(self, q: jax.Array) -> jax.Array:
+        return -0.5 * jnp.sum(q * q)
+
+    def logp_grad(self, q: jax.Array):
+        return -0.5 * jnp.sum(q * q), -q
+
+
+def _ar1_correlation(ndim: int, rho: float) -> np.ndarray:
+    idx = np.arange(ndim)
+    return rho ** np.abs(idx[:, None] - idx[None, :])
+
+
+class CorrelatedGaussian:
+    """Zero-mean Gaussian with AR(1)-correlated covariance (BASELINE config 2).
+
+    ``cov[i, j] = scales[i] * scales[j] * rho^|i-j|`` — strong off-diagonal
+    structure plus a range of scales, so diag vs full mass-matrix
+    adaptation behave measurably differently.
+    """
+
+    def __init__(self, ndim: int = 100, rho: float = 0.9, scale_range=(0.1, 10.0),
+                 dtype=jnp.float32, seed: int = 0):
+        self.ndim = int(ndim)
+        self.dtype = dtype
+        rng = np.random.RandomState(seed)
+        log_scales = rng.uniform(np.log(scale_range[0]), np.log(scale_range[1]), ndim)
+        scales = np.exp(np.sort(log_scales))
+        corr = _ar1_correlation(ndim, rho)
+        cov = corr * scales[:, None] * scales[None, :]
+        self.cov = np.asarray(cov, np.float64)
+        self.prec = np.linalg.inv(self.cov)
+        self.true_mean = np.zeros(ndim)
+        self.true_var = np.diag(self.cov).copy()
+        self._prec_dev = jnp.asarray(self.prec, dtype)
+
+    def logp(self, q: jax.Array) -> jax.Array:
+        g = -jnp.dot(self._prec_dev, q, preferred_element_type=self._prec_dev.dtype)
+        return 0.5 * jnp.dot(q, g)
+
+    def logp_grad(self, q: jax.Array):
+        # one matvec yields both the gradient and the quadratic form
+        g = -jnp.dot(self._prec_dev, q, preferred_element_type=self._prec_dev.dtype)
+        return 0.5 * jnp.dot(q, g), g

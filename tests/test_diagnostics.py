@@ -1,0 +1,48 @@
+"""Diagnostics tests: R-hat and bulk ESS behave correctly on known cases."""
+
+import numpy as np
+
+from littlemcmc_tpu.utils import ess_bulk, split_rhat, summary
+
+
+def test_rhat_iid_near_one():
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 1000)
+    r = split_rhat(x)
+    assert 0.99 < r < 1.02
+
+
+def test_rhat_detects_nonmixing():
+    rng = np.random.RandomState(1)
+    x = rng.randn(4, 500)
+    x[0] += 5.0  # one chain stuck elsewhere
+    assert split_rhat(x) > 1.5
+
+
+def test_ess_iid_close_to_n():
+    rng = np.random.RandomState(2)
+    c, n = 4, 2000
+    x = rng.randn(c, n)
+    ess = ess_bulk(x)
+    assert 0.5 * c * n < ess < 1.6 * c * n
+
+
+def test_ess_autocorrelated_much_smaller():
+    rng = np.random.RandomState(3)
+    c, n, rho = 4, 2000, 0.95
+    x = np.zeros((c, n))
+    for i in range(1, n):
+        x[:, i] = rho * x[:, i - 1] + np.sqrt(1 - rho ** 2) * rng.randn(c)
+    ess = ess_bulk(x)
+    # theoretical ESS factor (1-rho)/(1+rho) ~ 0.026
+    assert ess < 0.15 * c * n
+    assert ess > 10
+
+
+def test_summary_shapes():
+    rng = np.random.RandomState(4)
+    trace = rng.randn(2, 300, 3)
+    s = summary(trace)
+    assert s["mean"].shape == (3,)
+    assert s["rhat"].shape == (3,)
+    assert np.isfinite(s["ess_bulk"]).all()
