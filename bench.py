@@ -1,0 +1,116 @@
+"""Headline benchmark: NUTS effective-samples/sec on one TPU chip.
+
+Config: BASELINE.json #2 — 100-d correlated Gaussian, diag adaptation,
+1024 vectorized chains, 500 tune + 1000 draws, NUTS defaults.
+
+Metric: min-over-dims bulk ESS per second of on-device sampling time
+(compile excluded via a warm cache re-run; the run is deterministic so
+the re-run reproduces the same draws). Baseline: the reference
+littlemcmc's sequential CPU path on the same target, measured on this
+machine by scripts/measure_reference_baseline.py (the reference has no
+accelerator path; its multiprocessing mode is broken — SURVEY.md §2).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CHAINS = 1024
+TUNE = 500
+DRAWS = 1000
+NDIM = 100
+
+# Reference ESS/s on this config (measured, REFERENCE_BASELINE.json).
+_FALLBACK_BASELINE_ESS_PER_SEC = 159.78
+
+
+def _baseline_ess_per_sec() -> float:
+    path = os.path.join(REPO, "REFERENCE_BASELINE.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return float(data["results"]["corr_gaussian_100d"]["ess_per_sec_min_dim"])
+    except Exception:
+        return _FALLBACK_BASELINE_ESS_PER_SEC
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import littlemcmc_tpu as lmc
+    from littlemcmc_tpu import models
+    from littlemcmc_tpu.sampling import _make_init_fn, _make_runner
+    from littlemcmc_tpu.model import as_logp_grad
+    from littlemcmc_tpu.utils.diagnostics import ess_bulk
+
+    model = models.CorrelatedGaussian(NDIM)
+    logp_grad = as_logp_grad(model.logp_grad)
+    step = lmc.NUTS(model_ndim=NDIM)
+
+    key = jax.random.key(42)
+    k_init, k_chains = jax.random.split(key)
+    starts = 2.0 * jax.random.uniform(k_init, (CHAINS, NDIM), jnp.float32) - 1.0
+    chain_keys = jax.random.split(k_chains, CHAINS)
+    init_fn = _make_init_fn(step.config, logp_grad, NDIM, False, jnp.float32, False)
+    states0 = init_fn(chain_keys, starts)
+
+    kernel = step.build_kernel(logp_grad)
+    run = _make_runner(kernel, TUNE, DRAWS, False)
+
+    # Warm-up: compile + one full run.
+    t0 = time.perf_counter()
+    out = run(states0)
+    jax.block_until_ready(out)
+    warm = time.perf_counter() - t0
+
+    # Timed run (same seed, deterministic — identical draws, no compile).
+    t0 = time.perf_counter()
+    final_states, _, draw_out = run(states0)
+    jax.block_until_ready(draw_out)
+    sample_seconds = time.perf_counter() - t0
+
+    qs, info = draw_out
+    trace = np.asarray(jax.device_get(qs)).transpose(1, 0, 2)  # (chains, draws, ndim)
+    diverging = np.asarray(jax.device_get(info.diverging))
+
+    ess = np.array([ess_bulk(trace[:, :, i]) for i in range(NDIM)])
+    min_ess = float(np.nanmin(ess))
+    ess_per_sec = min_ess / sample_seconds
+    transitions_per_sec = CHAINS * (TUNE + DRAWS) / sample_seconds
+
+    baseline = _baseline_ess_per_sec()
+    result = {
+        "metric": "NUTS bulk-ESS/s (min over dims), 100-d corr Gaussian, "
+                  f"{CHAINS} chains, 1 chip",
+        "value": round(ess_per_sec, 1),
+        "unit": "ESS/s",
+        "vs_baseline": round(ess_per_sec / baseline, 2),
+        "extra": {
+            "sample_seconds": round(sample_seconds, 2),
+            "compile_plus_first_run_seconds": round(warm, 2),
+            "transitions_per_sec": round(transitions_per_sec, 1),
+            "min_ess_bulk": round(min_ess, 1),
+            "divergence_rate": round(float(diverging.mean()), 5),
+            "posterior_mean_abs": round(float(np.abs(trace.mean(axis=(0, 1))).mean()), 4),
+            "posterior_var_ratio": round(
+                float((trace.reshape(-1, NDIM).var(axis=0) / model.true_var).mean()), 3
+            ),
+            "baseline_ess_per_sec_reference_cpu": baseline,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

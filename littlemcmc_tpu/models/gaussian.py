@@ -48,9 +48,10 @@ class CorrelatedGaussian:
     """
 
     def __init__(self, ndim: int = 100, rho: float = 0.9, scale_range=(0.1, 10.0),
-                 dtype=jnp.float32, seed: int = 0):
+                 dtype=jnp.float32, seed: int = 0, use_pallas: bool = False):
         self.ndim = int(ndim)
         self.dtype = dtype
+        self.use_pallas = bool(use_pallas)
         rng = np.random.RandomState(seed)
         log_scales = rng.uniform(np.log(scale_range[0]), np.log(scale_range[1]), ndim)
         scales = np.exp(np.sort(log_scales))
@@ -70,3 +71,19 @@ class CorrelatedGaussian:
         # one matvec yields both the gradient and the quadratic form
         g = -jnp.dot(self._prec_dev, q, preferred_element_type=self._prec_dev.dtype)
         return 0.5 * jnp.dot(q, g), g
+
+    def batched_logp_grad(self, q: jax.Array):
+        """Chain-batched ``(logp, grad)`` for ``q: (chains, n)``.
+
+        With ``use_pallas=True`` dispatches to the fused Pallas kernel
+        (:mod:`littlemcmc_tpu.ops.gaussian_pallas`); otherwise one XLA
+        batched matmul. Use with kernels built via
+        ``build_nuts_kernel(..., batched_model=True)``-style drivers or
+        plain ``jax.vmap`` replacement hooks.
+        """
+        if self.use_pallas:
+            from ..ops import quadform_logp_grad
+
+            return quadform_logp_grad(q, self._prec_dev)
+        g = -jnp.dot(q, self._prec_dev, preferred_element_type=self._prec_dev.dtype)
+        return 0.5 * jnp.sum(q * g, axis=-1), g

@@ -287,18 +287,25 @@ def _make_init_fn(config, logp_grad, model_ndim: int, full: bool, dtype, has_pot
 
 
 @functools.lru_cache(maxsize=256)
-def _make_runner(kernel, tune: int, draws: int, collect_tune: bool):
+def _make_runner(kernel, tune: int, draws: int, collect_tune: bool,
+                 cross_chain_adapt: bool = False):
     """Jitted two-phase (tune, draw) scan over the vmapped kernel.
 
     Cached on the kernel object (itself memoized per ``(model, config)``)
     plus the phase lengths, so repeated ``sample()`` calls with identical
     shapes hit jax's jit cache instead of recompiling.
     """
+    from .parallel.cross_chain import cross_chain_potential_pool
+
     batched_kernel = jax.vmap(kernel, in_axes=(0, None))
 
     def phase(states, n_steps: int, tuning: bool, collect: bool):
         def body(s, _):
             s2, info = batched_kernel(s, jnp.asarray(tuning))
+            if cross_chain_adapt and tuning:
+                s2 = s2.replace(
+                    potential=cross_chain_potential_pool(s2.potential, jnp.asarray(tuning))
+                )
             return s2, ((s2.q, info) if collect else None)
 
         return lax.scan(body, states, length=n_steps)
@@ -310,6 +317,120 @@ def _make_runner(kernel, tune: int, draws: int, collect_tune: bool):
         return states, tune_out, draw_out
 
     return run
+
+
+@functools.lru_cache(maxsize=256)
+def _make_chunk_runner(kernel, chunk: int, tuning: bool, collect: bool,
+                       cross_chain_adapt: bool):
+    """Jitted ``chunk``-draw scan segment, for progress/checkpoint loops.
+
+    Returns ``(states, outputs_or_None, divergence_count)``.
+    """
+    from .parallel.cross_chain import cross_chain_potential_pool
+
+    batched_kernel = jax.vmap(kernel, in_axes=(0, None))
+
+    @jax.jit
+    def run_chunk(states):
+        def body(carry, _):
+            s, ndiv = carry
+            s2, info = batched_kernel(s, jnp.asarray(tuning))
+            if cross_chain_adapt and tuning:
+                s2 = s2.replace(
+                    potential=cross_chain_potential_pool(s2.potential, jnp.asarray(tuning))
+                )
+            ndiv = ndiv + jnp.sum(info.diverging)
+            return (s2, ndiv), ((s2.q, info) if collect else None)
+
+        (states2, ndiv), out = lax.scan(
+            body, (states, jnp.asarray(0, jnp.int32)), length=chunk
+        )
+        return states2, out, ndiv
+
+    return run_chunk
+
+
+def _run_chunked(
+    kernel,
+    states,
+    tune: int,
+    draws: int,
+    collect_tune: bool,
+    cross_chain_adapt: bool,
+    *,
+    progress_every: int,
+    checkpoint_dir: Optional[str],
+    checkpoint_every: Optional[int],
+    resume: bool,
+    chains: int,
+):
+    """Chunked execution with live progress and optional checkpoint/resume.
+
+    The counterpart of the reference's per-draw progress loop
+    (``sampling.py:455-469``) and the recovery story its multiprocessing
+    runtime lacks: the scan runs in jitted chunks, and between chunks the
+    host logs progress (with a live divergence counter) and can snapshot
+    the full sampler state. Resuming continues bit-identically; draws
+    already collected before the restored step are not re-emitted.
+    """
+    total = tune + draws
+    done = 0
+    n_div_total = 0
+
+    if resume:
+        if not checkpoint_dir:
+            raise ValueError("resume=True requires checkpoint_dir")
+        from .utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+        path = latest_checkpoint(checkpoint_dir)
+        if path is not None:
+            states, meta = restore_checkpoint(path, states)
+            done = int(meta.get("step", 0))
+            n_div_total = int(meta.get("n_divergences", 0))
+            _log.info("Resumed from %s at iteration %d/%d.", path, done, total)
+
+    outs = []
+    t0 = time.perf_counter()
+    next_progress = done + progress_every
+    next_checkpoint = done + checkpoint_every if (checkpoint_dir and checkpoint_every) else None
+
+    while done < total:
+        tuning = done < tune
+        phase_end = tune if tuning else total
+        stop = phase_end
+        if next_progress is not None:
+            stop = min(stop, next_progress)
+        if next_checkpoint is not None:
+            stop = min(stop, next_checkpoint)
+        chunk = stop - done
+        collect = collect_tune if tuning else True
+
+        runner = _make_chunk_runner(kernel, chunk, tuning, collect, cross_chain_adapt)
+        states, out, ndiv = runner(states)
+        jax.block_until_ready(states)
+        if collect:
+            outs.append(out)
+        n_div_total += int(ndiv)
+        done += chunk
+
+        if next_progress is not None and done >= next_progress:
+            rate = chains * done / max(time.perf_counter() - t0, 1e-9)
+            _log.info(
+                "  %d/%d iterations (%s), %d divergences, %.0f transitions/s",
+                done, total, "tuning" if done <= tune else "sampling",
+                n_div_total, rate,
+            )
+            next_progress = done + progress_every
+        if next_checkpoint is not None and done >= next_checkpoint:
+            from .utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_dir, states, done,
+                meta={"n_divergences": n_div_total, "tune": tune, "draws": draws},
+            )
+            next_checkpoint = done + checkpoint_every
+
+    return states, outs
 
 
 def sample(
@@ -331,7 +452,12 @@ def sample(
     mesh: Optional[Mesh] = None,
     chain_axis: str = "chains",
     dtype=jnp.float32,
+    cross_chain_adapt: bool = False,
     return_final_state: bool = False,
+    progress_every: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = False,
     **kwargs,
 ):
     """Draw posterior samples with NUTS (default) or HMC, fully on device.
@@ -347,6 +473,9 @@ def sample(
       must be divisible by the mesh size.
     - ``logp_fn``: alternatively to ``logp_dlogp_func``, a scalar JAX
       log-density, differentiated with ``jax.value_and_grad``.
+    - ``cross_chain_adapt``: pool Welford mass-matrix statistics across
+      *all* chains each tuning step (collectives over the mesh) — a
+      strict extension the reference's per-process chains cannot do.
     - models must be JAX-traceable; wrap host callables with
       :func:`littlemcmc_tpu.model.from_numpy_callable`.
 
@@ -438,7 +567,6 @@ def sample(
     # --- The compiled sampling program -----------------------------------
     kernel = step.build_kernel(logp_grad)
     collect_tune = not discard_tuned_samples
-    run = _make_runner(kernel, tune, draws, collect_tune)
 
     if progressbar:
         _log.info(
@@ -446,25 +574,43 @@ def sample(
             chains, tune, draws, jax.devices()[0].platform,
         )
     t0 = time.perf_counter()
-    final_states, tune_out, draw_out = run(states0)
-    jax.block_until_ready(draw_out)
+
+    if progress_every or checkpoint_dir or resume:
+        final_states, outs = _run_chunked(
+            kernel, states0, tune, draws, collect_tune, cross_chain_adapt,
+            progress_every=progress_every or max(1, (tune + draws) // 10),
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
+            chains=chains,
+        )
+    else:
+        run = _make_runner(kernel, tune, draws, collect_tune, cross_chain_adapt)
+        final_states, tune_out, draw_out = run(states0)
+        jax.block_until_ready(draw_out)
+        outs = ([tune_out] if collect_tune else []) + [draw_out]
+
     elapsed = time.perf_counter() - t0
     if progressbar:
         total = chains * (tune + draws)
         _log.info("Done in %.2fs (%.0f transitions/s).", elapsed, total / elapsed)
 
     # --- Assemble host-side outputs --------------------------------------
-    outs = ([tune_out] if collect_tune else []) + [draw_out]
-    qs = np.concatenate([np.asarray(jax.device_get(o[0])) for o in outs], axis=0)
-    trace = np.transpose(qs, (1, 0, 2))  # (chains, draws, ndim)
-
-    stats = {}
     dtypes = step.stats_dtypes[0]
-    info_fields = outs[0][1]._fields
-    for name in info_fields:
-        arrays = [np.asarray(jax.device_get(getattr(o[1], name))) for o in outs]
-        arr = np.concatenate(arrays, axis=0).T  # (chains, draws)
-        stats[name] = arr.astype(dtypes.get(name, arr.dtype))
+    if not outs:
+        # e.g. resume from a checkpoint taken at the final iteration
+        trace = np.zeros((chains, 0, model_ndim), np.dtype(dtype))
+        stats = {name: np.zeros((chains, 0), dt) for name, dt in dtypes.items()}
+    else:
+        qs = np.concatenate([np.asarray(jax.device_get(o[0])) for o in outs], axis=0)
+        trace = np.transpose(qs, (1, 0, 2))  # (chains, draws, ndim)
+
+        stats = {}
+        info_fields = outs[0][1]._fields
+        for name in info_fields:
+            arrays = [np.asarray(jax.device_get(getattr(o[1], name))) for o in outs]
+            arr = np.concatenate(arrays, axis=0).T  # (chains, draws)
+            stats[name] = arr.astype(dtypes.get(name, arr.dtype))
 
     if return_final_state:
         return trace, stats, final_states

@@ -1,0 +1,85 @@
+"""Checkpoint/resume and chunked-execution tests."""
+
+import numpy as np
+import pytest
+
+import littlemcmc_tpu as lmc
+from tests.conftest import std_normal_logp_grad
+
+
+def test_chunked_equals_oneshot(tmp_path):
+    kwargs = dict(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=2,
+        draws=80,
+        tune=60,
+        chains=2,
+        random_seed=9,
+        progressbar=False,
+    )
+    t_one, s_one = lmc.sample(**kwargs)
+    t_chunk, s_chunk = lmc.sample(progress_every=25, **kwargs)
+    np.testing.assert_array_equal(t_one, t_chunk)
+    np.testing.assert_array_equal(s_one["depth"], s_chunk["depth"])
+
+
+def test_checkpoint_and_resume_bit_identical(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=2,
+        draws=60,
+        tune=40,
+        chains=2,
+        random_seed=17,
+        progressbar=False,
+    )
+    # Full run with periodic checkpoints.
+    t_full, _ = lmc.sample(checkpoint_dir=ckpt, checkpoint_every=30, **kwargs)
+
+    # Resume from the latest snapshot (step 90 of 100) and re-run the tail.
+    from littlemcmc_tpu.utils.checkpoint import latest_checkpoint
+
+    last = latest_checkpoint(ckpt)
+    assert last is not None and last.endswith("step_00000090")
+    t_resumed, s_resumed = lmc.sample(
+        checkpoint_dir=ckpt, resume=True, **kwargs
+    )
+    # resumed run emits only post-restore draws: iterations 90..100, all
+    # in the sampling phase -> 10 draws
+    assert t_resumed.shape == (2, 10, 2)
+    np.testing.assert_array_equal(t_resumed, t_full[:, -10:, :])
+
+
+def test_resume_requires_dir():
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        lmc.sample(
+            logp_dlogp_func=std_normal_logp_grad,
+            model_ndim=1,
+            draws=10,
+            tune=10,
+            chains=2,
+            resume=True,
+            progressbar=False,
+        )
+
+
+def test_checkpoint_roundtrip_pytree(tmp_path):
+    """Direct save/restore of a ChainState pytree."""
+    import jax
+    import jax.numpy as jnp
+
+    from littlemcmc_tpu.base import init_chain_state
+    from littlemcmc_tpu.sampling import _make_adaptive_potential
+    from littlemcmc_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = lmc.NUTSConfig()
+    pot = _make_adaptive_potential(3, jnp.zeros(3), False, jnp.float32)
+    state = init_chain_state(jax.random.key(0), jnp.ones(3), pot, cfg, std_normal_logp_grad)
+    path = save_checkpoint(str(tmp_path / "c"), state, 5, meta={"x": 1})
+    restored, meta = restore_checkpoint(path, state)
+    assert meta["step"] == 5 and meta["x"] == 1
+    np.testing.assert_array_equal(np.asarray(restored.q), np.asarray(state.q))
+    np.testing.assert_array_equal(
+        np.asarray(restored.potential.var), np.asarray(state.potential.var)
+    )
