@@ -48,7 +48,7 @@ def main():
 
     import littlemcmc_tpu as lmc
     from littlemcmc_tpu import models
-    from littlemcmc_tpu.sampling import _make_init_fn, _make_runner
+    from littlemcmc_tpu.sampling import _make_init_fn
     from littlemcmc_tpu.model import as_logp_grad
     from littlemcmc_tpu.utils.diagnostics import ess_bulk
 
@@ -64,23 +64,41 @@ def main():
     states0 = init_fn(chain_keys, starts)
 
     kernel = step.build_kernel(logp_grad)
-    run = _make_runner(kernel, TUNE, DRAWS, False)
 
-    # Warm-up: compile + one full run.
+    # Chunked execution: long single XLA executions are killed by the
+    # remote-TPU transport, and chunking also matches production use
+    # (progress + checkpoints). One tune chunk + one draw chunk compile.
+    from littlemcmc_tpu.sampling import _make_chunk_runner
+
+    CHUNK = 50
+    assert TUNE % CHUNK == 0 and DRAWS % CHUNK == 0
+    tune_chunk = _make_chunk_runner(kernel, CHUNK, True, False, False)
+    draw_chunk = _make_chunk_runner(kernel, CHUNK, False, True, False)
+
+    # Warm-up: compile both chunk programs.
     t0 = time.perf_counter()
-    out = run(states0)
+    s, _, _ = tune_chunk(states0)
+    s2, out, _ = draw_chunk(s)
     jax.block_until_ready(out)
     warm = time.perf_counter() - t0
 
-    # Timed run (same seed, deterministic — identical draws, no compile).
+    # Timed full run from the initial state (deterministic).
     t0 = time.perf_counter()
-    final_states, _, draw_out = run(states0)
-    jax.block_until_ready(draw_out)
+    s = states0
+    for _ in range(TUNE // CHUNK):
+        s, _, _ = tune_chunk(s)
+    outs = []
+    for _ in range(DRAWS // CHUNK):
+        s, out, _ = draw_chunk(s)
+        outs.append(out)
+    jax.block_until_ready(s)
     sample_seconds = time.perf_counter() - t0
 
-    qs, info = draw_out
-    trace = np.asarray(jax.device_get(qs)).transpose(1, 0, 2)  # (chains, draws, ndim)
-    diverging = np.asarray(jax.device_get(info.diverging))
+    qs = np.concatenate([np.asarray(jax.device_get(o[0])) for o in outs], axis=0)
+    trace = qs.transpose(1, 0, 2)  # (chains, draws, ndim)
+    diverging = np.concatenate(
+        [np.asarray(jax.device_get(o[1].diverging)) for o in outs], axis=0
+    )
 
     ess = np.array([ess_bulk(trace[:, :, i]) for i in range(NDIM)])
     min_ess = float(np.nanmin(ess))

@@ -52,11 +52,24 @@ class Proposal(NamedTuple):
     logp: jax.Array
 
 
+class Boundary(NamedTuple):
+    """Momentum/velocity at a subtree end — all the U-turn checks need.
+
+    The reference stores full states at subtree boundaries
+    (``nuts.py:246-248``); only ``p`` and ``v`` are ever read by the
+    termination criterion, so the merge stack stores just these two
+    vectors per end — ~35% less HBM traffic per merge at scale.
+    """
+
+    p: jax.Array
+    v: jax.Array
+
+
 class TreeNode(NamedTuple):
     """A completed subtree, boundaries in integration order (``nuts.py:246-248``)."""
 
-    left: IntegratorState
-    right: IntegratorState
+    left: Boundary
+    right: Boundary
     p_sum: jax.Array
     proposal: Proposal
     log_size: jax.Array
@@ -98,9 +111,10 @@ def _leaf_node(state: IntegratorState, energy_change: jax.Array) -> TreeNode:
     # probability with Boltzmann weight (``nuts.py:363``).
     lpaw = -energy_change + jnp.minimum(0.0, -energy_change)
     proposal = Proposal(state.q, state.q_grad, state.energy, state.model_logp)
+    end = Boundary(state.p, state.v)
     return TreeNode(
-        left=state,
-        right=state,
+        left=end,
+        right=end,
         p_sum=state.p,
         proposal=proposal,
         log_size=-energy_change,
@@ -145,6 +159,7 @@ def _merge_nodes(
 
 class _SubtreeResult(NamedTuple):
     node: TreeNode
+    end_state: IntegratorState  # full state at the integration-order far end
     n_leaves: jax.Array
     max_energy_change: jax.Array
     diverging: jax.Array
@@ -184,12 +199,17 @@ def _build_subtree(
     (``nuts.py:316-319``).
     """
     n_total = jnp.left_shift(jnp.asarray(1, jnp.int32), depth)
+    # One extra "trash" slot: aborted iterations write there instead of
+    # select-copying the whole stack, letting XLA update the stack buffer
+    # in place inside the while loop.
     max_stack = config.max_treedepth
+    trash = jnp.asarray(max_stack, jnp.int32)
     emax = jnp.asarray(config.Emax, edge.q.dtype)
 
     dummy_node = _leaf_node(edge, jnp.asarray(0.0, edge.energy.dtype))
     stack0 = jax.tree.map(
-        lambda x: jnp.zeros((max_stack,) + jnp.shape(x), jnp.asarray(x).dtype), dummy_node
+        lambda x: jnp.zeros((max_stack + 1,) + jnp.shape(x), jnp.asarray(x).dtype),
+        dummy_node,
     )
 
     def push(stack, node, h):
@@ -218,7 +238,8 @@ def _build_subtree(
         leaf = _leaf_node(new_state, energy_change)
 
         # Merge once per trailing one-bit of leaf_idx: exactly the internal
-        # nodes the reference recursion completes after this leaf.
+        # nodes the reference recursion completes after this leaf. A
+        # divergent leaf aborts before any merging (``nuts.py:379-383``).
         def merge_cond(mc):
             key_, j, node_, h, turning_ = mc
             more = jnp.bitwise_and(jnp.right_shift(c.leaf_idx, j), 1) == 1
@@ -231,21 +252,18 @@ def _build_subtree(
             merged, turning_new = _merge_nodes(k_merge, t1, node_, check_extra=j >= 1)
             return (key_, j + 1, merged, h - 1, turning_new)
 
-        key0, j0 = c.key, jnp.asarray(0, jnp.int32)
         key1, _, node, height, turning = lax.while_loop(
             merge_cond,
             merge_body,
-            (key0, j0, leaf, c.height, jnp.asarray(False)),
+            (c.key, jnp.where(diverging, 31, 0).astype(jnp.int32), leaf,
+             c.height, jnp.asarray(False)),
         )
-        # A divergent leaf aborts before any merging (``nuts.py:379-383``).
-        node = _tree_select(diverging, leaf, node)
-        height = jnp.where(diverging, c.height, height)
+        # (j starts at 31 when diverging: leaf_idx >> 31 == 0, so no merges run.)
         turning = turning & ~diverging
-        key1 = _tree_select(diverging, key0, key1)
 
         ok = (~diverging) & (~turning)
-        stack = _tree_select(ok, push(c.stack, node, height), c.stack)
-        height = jnp.where(ok, height + 1, height)
+        stack = push(c.stack, node, jnp.where(ok, height, trash))
+        height = jnp.where(ok, height + 1, c.height)
 
         return _BuildCarry(
             key=key1,
@@ -278,6 +296,7 @@ def _build_subtree(
     final_node = peek(out.stack, jnp.maximum(out.height - 1, 0))
     return _SubtreeResult(
         node=final_node,
+        end_state=out.cur,
         n_leaves=out.n_leaves,
         max_energy_change=out.max_energy_change,
         diverging=out.diverging,
@@ -359,9 +378,10 @@ def run_nuts_tree(
         p_sum = c.p_sum + node.p_sum
 
         # New span boundaries in position order: the subtree's far end
-        # (integration-order ``right``) replaces the extended edge.
-        new_left = _tree_select(go_right, c.left, node.right)
-        new_right = _tree_select(go_right, node.right, c.right)
+        # (integration-order ``right`` = its last integrated full state)
+        # replaces the extended edge.
+        new_left = _tree_select(go_right, c.left, sub.end_state)
+        new_right = _tree_select(go_right, sub.end_state, c.right)
 
         # 3-way generalized U-turn check (``nuts.py:332-340``).
         turning_full = _is_turning(p_sum, new_left.v, new_right.v)

@@ -350,6 +350,9 @@ def _make_chunk_runner(kernel, chunk: int, tuning: bool, collect: bool,
     return run_chunk
 
 
+_AUTO_CHUNK = 100
+
+
 def _run_chunked(
     kernel,
     states,
@@ -363,6 +366,8 @@ def _run_chunked(
     checkpoint_every: Optional[int],
     resume: bool,
     chains: int,
+    callback=None,
+    quiet: bool = False,
 ):
     """Chunked execution with live progress and optional checkpoint/resume.
 
@@ -413,13 +418,20 @@ def _run_chunked(
         n_div_total += int(ndiv)
         done += chunk
 
+        if callback is not None:
+            # Per-chunk callback (the reference's per-draw callback hook,
+            # ``sampling.py:307-308``, amortized over the chunk).
+            callback(iteration=done, tuning=tuning, states=states,
+                     chunk=out, n_divergences=n_div_total)
+
         if next_progress is not None and done >= next_progress:
-            rate = chains * done / max(time.perf_counter() - t0, 1e-9)
-            _log.info(
-                "  %d/%d iterations (%s), %d divergences, %.0f transitions/s",
-                done, total, "tuning" if done <= tune else "sampling",
-                n_div_total, rate,
-            )
+            if not quiet:
+                rate = chains * done / max(time.perf_counter() - t0, 1e-9)
+                _log.info(
+                    "  %d/%d iterations (%s), %d divergences, %.0f transitions/s",
+                    done, total, "tuning" if done <= tune else "sampling",
+                    n_div_total, rate,
+                )
             next_progress = done + progress_every
         if next_checkpoint is not None and done >= next_checkpoint:
             from .utils.checkpoint import save_checkpoint
@@ -483,7 +495,7 @@ def sample(
     model_ndim)``; ``stats`` maps stat names to ``(chains, draws)`` arrays
     with the reference's dtypes (``nuts.py:87-101``, ``hmc.py:36-50``).
     """
-    del callback, chain_idx  # accepted for API parity
+    del chain_idx  # accepted for API parity
     if cores is not None:
         _log.info("`cores` is ignored on TPU; chains are vectorized on device.")
     if chains is None:
@@ -575,14 +587,25 @@ def sample(
         )
     t0 = time.perf_counter()
 
-    if progress_every or checkpoint_dir or resume:
+    # Long single executions can exceed transport deadlines on remote TPU
+    # backends; chunk automatically on TPU when the run is long.
+    auto_chunk = (
+        progress_every is None
+        and jax.default_backend() == "tpu"
+        and (tune + draws) > _AUTO_CHUNK
+    )
+
+    if progress_every or checkpoint_dir or resume or callback or auto_chunk:
         final_states, outs = _run_chunked(
             kernel, states0, tune, draws, collect_tune, cross_chain_adapt,
-            progress_every=progress_every or max(1, (tune + draws) // 10),
+            progress_every=progress_every
+            or (_AUTO_CHUNK if auto_chunk else max(1, (tune + draws) // 10)),
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every,
             resume=resume,
             chains=chains,
+            callback=callback,
+            quiet=not progressbar,
         )
     else:
         run = _make_runner(kernel, tune, draws, collect_tune, cross_chain_adapt)
