@@ -13,11 +13,13 @@ __version__ = "0.1.0"
 from .sampling import sample, init_nuts, NUTS, HamiltonianMC
 from .quadpotential import (
     quad_potential,
+    isquadpotential,
     QuadPotentialDiag,
     QuadPotentialFull,
     QuadPotentialFullInv,
     QuadPotentialDiagAdapt,
     QuadPotentialFullAdapt,
+    PositiveDefiniteError,
 )
 from .base import NUTSConfig, HMCConfig, ChainState, init_chain_state
 from .nuts import build_nuts_kernel, NUTSInfo
@@ -33,6 +35,8 @@ __all__ = [
     "NUTS",
     "HamiltonianMC",
     "quad_potential",
+    "isquadpotential",
+    "PositiveDefiniteError",
     "QuadPotentialDiag",
     "QuadPotentialFull",
     "QuadPotentialFullInv",

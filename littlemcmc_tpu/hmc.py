@@ -92,9 +92,12 @@ def run_hmc_trajectory(
 
 @functools.lru_cache(maxsize=512)
 def build_hmc_kernel(logp_grad_fn: LogpGradFn, config: HMCConfig = HMCConfig()):
-    """Build the one-draw HMC transition ``kernel(state, tuning) -> (state, info)``.
+    """Build the chain-batched HMC transition ``kernel(states, tuning)``.
 
-    Memoized on ``(logp_grad_fn, config)`` — see ``build_nuts_kernel``.
+    The per-chain transition (below) is batched with ``vmap`` — HMC's
+    trajectory loop has no stack machinery, so ``vmap``'s masked
+    while-loop batching is already the right lowering. Memoized on
+    ``(logp_grad_fn, config)`` — see ``build_nuts_kernel``.
     """
 
     def kernel(state: ChainState, tuning: jax.Array) -> Tuple[ChainState, HMCInfo]:
@@ -143,4 +146,4 @@ def build_hmc_kernel(logp_grad_fn: LogpGradFn, config: HMCConfig = HMCConfig()):
         )
         return new_state, info
 
-    return kernel
+    return jax.vmap(kernel, in_axes=(0, None))

@@ -1,42 +1,47 @@
-"""No-U-Turn sampler as a fixed-shape, XLA-compilable transition kernel.
+"""No-U-Turn sampler as a natively chain-batched, fixed-shape XLA kernel.
 
 TPU-native re-architecture of the reference's recursive NUTS
 (``littlemcmc/nuts.py``). The reference builds the binary trajectory tree
-with Python recursion (``nuts.py:377-417``) and data-dependent early
-returns; XLA cannot trace unbounded recursion, so here the same tree is
-built *iteratively*:
+with Python recursion (``nuts.py:377-417``); XLA cannot trace unbounded
+recursion, so the same tree is built *iteratively* with an explicit merge
+stack — a post-order traversal that replays the reference's recursion
+exactly: leaf ``i`` triggers one merge per trailing one-bit of ``i``,
+reproducing every internal node of ``_build_subtree`` in order, with the
+same multinomial proposal swaps and the same 3-way generalized U-turn
+checks (``nuts.py:332-340, 389-398``).
 
-- the outer tree-doubling loop (``nuts.py:212-217`` / ``extend`` at
-  ``nuts.py:284-342``) is a ``lax.while_loop`` over tree depth;
-- each subtree of ``2^depth`` leaves is built by a second
-  ``lax.while_loop`` over leaves with an explicit merge *stack* of at most
-  ``max_treedepth`` frames — a post-order traversal that replays the
-  reference's recursion exactly: leaf ``i`` triggers one merge per
-  trailing one-bit of ``i``, reproducing every internal node of
-  ``_build_subtree`` (``nuts.py:377-417``) in the same order, with the
-  same multinomial proposal swaps and the same 3-way generalized U-turn
-  checks (``nuts.py:332-340, 389-398``);
-- divergences (``|ΔE| ≥ Emax``, NaN ⇒ ∞; ``nuts.py:353-358``) and turning
-  are boolean masks instead of exceptions.
+The kernel is **batched over chains by construction** rather than via
+``vmap``. The key observation making this efficient on TPU: every chain
+that is still extending its tree follows the *same* schedule — at outer
+iteration ``d`` all active chains build a ``2^d``-leaf subtree, process
+leaves in the same order, perform merges at the same leaf indices, and
+push/pop at the same stack heights. All loop control (depth, leaf index,
+merge count, stack height) is therefore *scalar*, per-chain divergence
+from the schedule is handled with boolean masks, and every stack access
+is a static-stride ``dynamic_update_slice`` at a scalar index — **no
+per-lane gathers or scatters**, which a ``vmap``-ed per-chain stack would
+require (slow and fault-prone on TPU). All bulk data is ``(chains, n)``,
+exactly the 2-D layout the VPU tiles natively.
 
-Everything is fixed-shape, so the kernel can be ``vmap``-ed over thousands
-of chains and sharded over a ``chains`` mesh axis. Under ``vmap`` the
-while-loops run until the slowest lane finishes, with finished lanes
-masked — the standard batched-NUTS execution model on accelerators.
+Divergences (``|ΔE| ≥ Emax``, NaN ⇒ ∞; reference ``nuts.py:353-358``) and
+turning are boolean masks instead of exceptions. Chains stopped early are
+frozen by masking; the loops run until the slowest chain finishes — the
+standard batched-NUTS execution model on accelerators.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .base import ChainState, NUTSConfig, finish_step, start_of_trajectory
-from .integration import IntegratorState, leapfrog
-from .math import logbern, logdiffexp
+from .base import ChainState, NUTSConfig
+from .integration import IntegratorState
+from .math import log1mexp
+from .step_sizes import dual_average_update
 
 __all__ = ["NUTSConfig", "NUTSInfo", "build_nuts_kernel"]
 
@@ -44,7 +49,7 @@ LogpGradFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
 
 
 class Proposal(NamedTuple):
-    """Candidate next position (reference ``nuts.py:243``)."""
+    """Candidate next position (reference ``nuts.py:243``); batched (C, ...)."""
 
     q: jax.Array
     q_grad: jax.Array
@@ -53,12 +58,11 @@ class Proposal(NamedTuple):
 
 
 class Boundary(NamedTuple):
-    """Momentum/velocity at a subtree end — all the U-turn checks need.
+    """Momentum/velocity at a subtree end — all the U-turn checks read.
 
     The reference stores full states at subtree boundaries
-    (``nuts.py:246-248``); only ``p`` and ``v`` are ever read by the
-    termination criterion, so the merge stack stores just these two
-    vectors per end — ~35% less HBM traffic per merge at scale.
+    (``nuts.py:246-248``); only ``p`` and ``v`` feed the termination
+    criterion, so the merge stack stores just these two vectors per end.
     """
 
     p: jax.Array
@@ -66,7 +70,7 @@ class Boundary(NamedTuple):
 
 
 class TreeNode(NamedTuple):
-    """A completed subtree, boundaries in integration order (``nuts.py:246-248``)."""
+    """A completed subtree, boundaries in integration order; batched."""
 
     left: Boundary
     right: Boundary
@@ -96,13 +100,34 @@ class NUTSInfo(NamedTuple):
     reached_max_treedepth: jax.Array
 
 
-def _tree_select(pred, on_true, on_false):
-    return jax.tree.map(lambda t, f: jnp.where(pred, t, f), on_true, on_false)
+def _mwhere(mask, a, b):
+    """``where`` with a (C,) mask broadcast against (C, ...) leaves."""
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (jnp.ndim(x) - mask.ndim))
+        return jnp.where(m, x, y)
+
+    return jax.tree.map(sel, a, b)
 
 
-def _is_turning(p_sum: jax.Array, v_left: jax.Array, v_right: jax.Array) -> jax.Array:
-    """Generalized U-turn criterion (reference ``nuts.py:335, 391``)."""
-    return (jnp.dot(p_sum, v_left) <= 0) | (jnp.dot(p_sum, v_right) <= 0)
+def _rowdot(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.sum(a * b, axis=-1)
+
+
+def _is_turning(p_sum, v_left, v_right):
+    """Generalized U-turn criterion, batched (reference ``nuts.py:335, 391``)."""
+    return (_rowdot(p_sum, v_left) <= 0) | (_rowdot(p_sum, v_right) <= 0)
+
+
+def _split_each(keys: jax.Array, num: int):
+    """Split a (C,) key batch into ``num`` (C,) key batches."""
+    out = jax.vmap(lambda k: jax.random.split(k, num))(keys)
+    return tuple(out[:, i] for i in range(num))
+
+
+def _logbern_b(keys: jax.Array, log_p: jax.Array) -> jax.Array:
+    """Per-chain Bernoulli in log space; NaN log_p yields False."""
+    u = jax.vmap(jax.random.uniform)(keys)
+    return jnp.log(u) < log_p
 
 
 def _leaf_node(state: IntegratorState, energy_change: jax.Array) -> TreeNode:
@@ -122,15 +147,14 @@ def _leaf_node(state: IntegratorState, energy_change: jax.Array) -> TreeNode:
     )
 
 
-def _merge_nodes(
-    key: jax.Array, t1: TreeNode, t2: TreeNode, check_extra: jax.Array
-) -> Tuple[TreeNode, jax.Array]:
+def _merge_nodes(keys, t1: TreeNode, t2: TreeNode, check_extra) -> Tuple[TreeNode, jax.Array]:
     """Merge two adjacent complete subtrees (integration order: t1 then t2).
 
     Replays one internal node of the reference recursion
     (``nuts.py:389-407``): full-span U-turn check, the two cross-subtree
     checks when both children have depth ≥ 1 (``check_extra``), log-space
-    weight accumulation, and the multinomial proposal swap.
+    weight accumulation, and the multinomial proposal swap. Batched; the
+    returned ``turning`` is per-chain.
     """
     p_sum = t1.p_sum + t2.p_sum
     turning = _is_turning(p_sum, t1.left.v, t2.right.v)
@@ -141,11 +165,9 @@ def _merge_nodes(
     turning = turning | (check_extra & (turning1 | turning2))
 
     log_size = jnp.logaddexp(t1.log_size, t2.log_size)
-    lwas = jnp.logaddexp(
-        t1.log_weighted_accept_sum, t2.log_weighted_accept_sum
-    )
-    take2 = logbern(key, t2.log_size - log_size)
-    proposal = _tree_select(take2, t2.proposal, t1.proposal)
+    lwas = jnp.logaddexp(t1.log_weighted_accept_sum, t2.log_weighted_accept_sum)
+    take2 = _logbern_b(keys, t2.log_size - log_size)
+    proposal = _mwhere(take2, t2.proposal, t1.proposal)
     node = TreeNode(
         left=t1.left,
         right=t2.right,
@@ -157,22 +179,45 @@ def _merge_nodes(
     return node, turning
 
 
-class _SubtreeResult(NamedTuple):
-    node: TreeNode
-    end_state: IntegratorState  # full state at the integration-order far end
-    n_leaves: jax.Array
-    max_energy_change: jax.Array
-    diverging: jax.Array
-    turning: jax.Array
+def _make_batched_potential_ops(potential):
+    velocity = jax.vmap(lambda pot, p: pot.velocity(p))
+    kinetic = jax.vmap(lambda pot, p, v: pot.kinetic(p, v))
+    return (
+        lambda p: velocity(potential, p),
+        lambda p, v: kinetic(potential, p, v),
+    )
+
+
+def _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, state: IntegratorState):
+    """Batched kick-drift-kick leapfrog (reference ``integration.py:100-121``)."""
+    dt = (0.5 * epsilon)[:, None]
+    p = state.p + dt * state.q_grad
+    v_half = velocity_b(p)
+    q = (state.q + epsilon[:, None] * v_half).astype(state.q.dtype)
+    logp, grad = logp_grad_b(q)
+    p = p + dt * grad
+    v = velocity_b(p)
+    kin = kinetic_b(p, v)
+    return IntegratorState(q, p, v, grad, kin - logp, logp)
 
 
 class _BuildCarry(NamedTuple):
-    key: jax.Array
-    leaf_idx: jax.Array
-    cur: IntegratorState
+    keys: jax.Array  # (C,)
+    leaf_idx: jax.Array  # scalar
+    height: jax.Array  # scalar
+    cur: IntegratorState  # batched; frozen for non-building chains
+    node: TreeNode  # batched working node
+    stack: TreeNode  # leading stack dim (max_treedepth,), then batch
+    building: jax.Array  # (C,) still building this subtree
+    n_leaves: jax.Array  # (C,)
+    max_energy_change: jax.Array  # (C,)
+    diverging: jax.Array  # (C,)
+    turning: jax.Array  # (C,)
+
+
+class _SubtreeResult(NamedTuple):
     node: TreeNode
-    stack: TreeNode  # each leaf has an extra leading dim of size max_treedepth
-    height: jax.Array
+    end_state: IntegratorState
     n_leaves: jax.Array
     max_energy_change: jax.Array
     diverging: jax.Array
@@ -180,36 +225,33 @@ class _BuildCarry(NamedTuple):
 
 
 def _build_subtree(
-    key: jax.Array,
+    keys,
     edge: IntegratorState,
-    depth: jax.Array,
-    epsilon: jax.Array,
-    start_energy: jax.Array,
-    max_energy_change0: jax.Array,
-    potential,
-    logp_grad_fn: LogpGradFn,
+    depth,
+    epsilon,
+    active,
+    start_energy,
+    max_energy_change0,
+    velocity_b,
+    kinetic_b,
+    logp_grad_b,
     config: NUTSConfig,
 ) -> _SubtreeResult:
-    """Build a complete subtree of ``2^depth`` leapfrog steps from ``edge``.
+    """Build a complete subtree of ``2^depth`` leapfrogs from ``edge``.
 
-    Iterative equivalent of ``_Tree._build_subtree`` (``nuts.py:377-417``).
-    On divergence or turning the build stops; per the reference's abort
-    semantics, only ``n_leaves`` (the ``n_proposals`` count), the flags,
-    and ``max_energy_change`` are meaningful to the caller in that case
-    (``nuts.py:316-319``).
+    Iterative equivalent of ``_Tree._build_subtree`` (``nuts.py:377-417``),
+    batched: ``depth``/``leaf_idx``/``height`` are scalars shared by all
+    chains; ``active``/``building`` masks freeze chains that aborted. On
+    abort only ``n_leaves``, the flags and ``max_energy_change`` are
+    meaningful to the caller (reference abort semantics, ``nuts.py:316-319``).
     """
     n_total = jnp.left_shift(jnp.asarray(1, jnp.int32), depth)
-    # One extra "trash" slot: aborted iterations write there instead of
-    # select-copying the whole stack, letting XLA update the stack buffer
-    # in place inside the while loop.
-    max_stack = config.max_treedepth
-    trash = jnp.asarray(max_stack, jnp.int32)
     emax = jnp.asarray(config.Emax, edge.q.dtype)
+    C = edge.q.shape[0]
 
-    dummy_node = _leaf_node(edge, jnp.asarray(0.0, edge.energy.dtype))
+    dummy_node = _leaf_node(edge, jnp.zeros((C,), edge.energy.dtype))
     stack0 = jax.tree.map(
-        lambda x: jnp.zeros((max_stack + 1,) + jnp.shape(x), jnp.asarray(x).dtype),
-        dummy_node,
+        lambda x: jnp.zeros((config.max_treedepth,) + jnp.shape(x), x.dtype), dummy_node
     )
 
     def push(stack, node, h):
@@ -218,82 +260,94 @@ def _build_subtree(
         )
 
     def peek(stack, h):
-        return jax.tree.map(lambda s: lax.dynamic_index_in_dim(s, h, 0, keepdims=False), stack)
+        return jax.tree.map(
+            lambda s: lax.dynamic_index_in_dim(s, h, 0, keepdims=False), stack
+        )
 
     def cond(c: _BuildCarry):
-        return (~c.diverging) & (~c.turning) & (c.leaf_idx < n_total)
+        return (c.leaf_idx < n_total) & jnp.any(c.building)
 
     def body(c: _BuildCarry) -> _BuildCarry:
-        new_state = leapfrog(potential, logp_grad_fn, epsilon, c.cur)
+        new_state = _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, c.cur)
+        # Freeze chains that are done: keeps their state clean and avoids
+        # runaway NaN positions in frozen lanes.
+        new_state = _mwhere(c.building, new_state, c.cur)
+
         energy_change = new_state.energy - start_energy
         energy_change = jnp.where(jnp.isnan(energy_change), jnp.inf, energy_change)
-        mec = jnp.where(
-            jnp.abs(energy_change) > jnp.abs(c.max_energy_change),
-            energy_change,
-            c.max_energy_change,
-        )
-        diverging = ~(jnp.abs(energy_change) < emax)
-        n_leaves = c.n_leaves + 1
+        upd = c.building & (jnp.abs(energy_change) > jnp.abs(c.max_energy_change))
+        mec = jnp.where(upd, energy_change, c.max_energy_change)
+        div_leaf = c.building & ~(jnp.abs(energy_change) < emax)
+        n_leaves = c.n_leaves + c.building.astype(jnp.int32)
 
         leaf = _leaf_node(new_state, energy_change)
+        node = _mwhere(c.building, leaf, c.node)
 
-        # Merge once per trailing one-bit of leaf_idx: exactly the internal
-        # nodes the reference recursion completes after this leaf. A
-        # divergent leaf aborts before any merging (``nuts.py:379-383``).
+        # Merge once per trailing one-bit of leaf_idx — the internal nodes
+        # the reference recursion completes after this leaf. The schedule
+        # (indices, heights) is scalar; chains that diverged at this leaf
+        # or turned at an earlier merge stop applying updates
+        # (``nuts.py:379-383``).
         def merge_cond(mc):
-            key_, j, node_, h, turning_ = mc
+            keys_, j, node_, h, merging_ = mc
             more = jnp.bitwise_and(jnp.right_shift(c.leaf_idx, j), 1) == 1
-            return (~turning_) & more
+            return more & jnp.any(merging_)
 
         def merge_body(mc):
-            key_, j, node_, h, turning_ = mc
-            key_, k_merge = jax.random.split(key_)
+            keys_, j, node_, h, merging_ = mc
+            keys_next, k_merge = _split_each(keys_, 2)
             t1 = peek(c.stack, h - 1)
             merged, turning_new = _merge_nodes(k_merge, t1, node_, check_extra=j >= 1)
-            return (key_, j + 1, merged, h - 1, turning_new)
+            node_ = _mwhere(merging_, merged, node_)
+            keys_ = _mwhere(merging_, keys_next, keys_)
+            merging_ = merging_ & ~turning_new
+            return (keys_, j + 1, node_, h - 1, merging_)
 
-        key1, _, node, height, turning = lax.while_loop(
+        merging0 = c.building & ~div_leaf
+        keys1, _, node, height, merging_out = lax.while_loop(
             merge_cond,
             merge_body,
-            (c.key, jnp.where(diverging, 31, 0).astype(jnp.int32), leaf,
-             c.height, jnp.asarray(False)),
+            (c.keys, jnp.asarray(0, jnp.int32), node, c.height, merging0),
         )
-        # (j starts at 31 when diverging: leaf_idx >> 31 == 0, so no merges run.)
-        turning = turning & ~diverging
+        turned = merging0 & ~merging_out  # turned at some merge this leaf
 
-        ok = (~diverging) & (~turning)
-        stack = push(c.stack, node, jnp.where(ok, height, trash))
-        height = jnp.where(ok, height + 1, c.height)
+        building = c.building & ~div_leaf & ~turned
+        # Push at the scalar post-merge height. Aborted/frozen chains write
+        # garbage into their lanes of this slot; they never read it again
+        # (the stack is fresh per subtree and they stay masked out).
+        stack = push(c.stack, node, height)
 
         return _BuildCarry(
-            key=key1,
+            keys=keys1,
             leaf_idx=c.leaf_idx + 1,
+            height=height + 1,
             cur=new_state,
             node=node,
             stack=stack,
-            height=height,
+            building=building,
             n_leaves=n_leaves,
             max_energy_change=mec,
-            diverging=diverging,
-            turning=turning,
+            diverging=c.diverging | div_leaf,
+            turning=c.turning | turned,
         )
 
     init = _BuildCarry(
-        key=key,
+        keys=keys,
         leaf_idx=jnp.asarray(0, jnp.int32),
+        height=jnp.asarray(0, jnp.int32),
         cur=edge,
         node=dummy_node,
         stack=stack0,
-        height=jnp.asarray(0, jnp.int32),
-        n_leaves=jnp.asarray(0, jnp.int32),
+        building=active,
+        n_leaves=jnp.zeros((C,), jnp.int32),
         max_energy_change=max_energy_change0,
-        diverging=jnp.asarray(False),
-        turning=jnp.asarray(False),
+        diverging=jnp.zeros((C,), bool),
+        turning=jnp.zeros((C,), bool),
     )
     out = lax.while_loop(cond, body, init)
 
-    # Clean completion leaves exactly one frame on the stack.
-    final_node = peek(out.stack, jnp.maximum(out.height - 1, 0))
+    # Clean completion leaves exactly one frame on the stack (slot 0).
+    final_node = peek(out.stack, 0)
     return _SubtreeResult(
         node=final_node,
         end_state=out.cur,
@@ -305,14 +359,15 @@ def _build_subtree(
 
 
 class _TreeCarry(NamedTuple):
-    key: jax.Array
+    keys: jax.Array
     left: IntegratorState
     right: IntegratorState
     p_sum: jax.Array
     proposal: Proposal
     log_size: jax.Array
     log_weighted_accept_sum: jax.Array
-    depth: jax.Array
+    depth: jax.Array  # scalar schedule depth
+    depth_c: jax.Array  # (C,) per-chain extends performed (the `depth` stat)
     n_proposals: jax.Array
     max_energy_change: jax.Array
     diverging: jax.Array
@@ -331,98 +386,106 @@ class TreeResult(NamedTuple):
 
 
 def run_nuts_tree(
-    key: jax.Array,
+    keys,
     start: IntegratorState,
-    step_size: jax.Array,
-    max_depth: jax.Array,
+    step_size,
+    max_depth_c,
     potential,
-    logp_grad_fn: LogpGradFn,
+    logp_grad_b,
     config: NUTSConfig,
 ) -> TreeResult:
-    """One full NUTS trajectory: iterative tree doubling from ``start``.
+    """One full batched NUTS trajectory: iterative tree doubling.
 
     Equivalent of ``NUTS._hamiltonian_step`` + ``_Tree.extend``
-    (``nuts.py:204-224, 284-342``).
+    (``nuts.py:204-224, 284-342``). ``max_depth_c`` is per-chain (early
+    tree-depth schedule); the scalar loop runs to the largest.
     """
-    init_proposal = Proposal(start.q, start.q_grad, start.energy, start.model_logp)
+    velocity_b, kinetic_b = _make_batched_potential_ops(potential)
+    C = start.q.shape[0]
     dtype = start.energy.dtype
+    init_proposal = Proposal(start.q, start.q_grad, start.energy, start.model_logp)
+    max_depth_sched = jnp.max(max_depth_c)
 
     def cond(c: _TreeCarry):
-        return (~c.diverging) & (~c.turning) & (c.depth < max_depth)
+        active = (~c.diverging) & (~c.turning) & (c.depth_c < max_depth_c)
+        return (c.depth < max_depth_sched) & jnp.any(active)
 
     def body(c: _TreeCarry) -> _TreeCarry:
-        key, k_dir, k_sub, k_swap = jax.random.split(c.key, 4)
-        go_right = jax.random.bernoulli(k_dir)
+        active = (~c.diverging) & (~c.turning) & (c.depth_c < max_depth_c)
+        keys_next, k_dir, k_sub, k_swap = _split_each(c.keys, 4)
+        keys1 = _mwhere(active, keys_next, c.keys)
+
+        go_right = jax.vmap(jax.random.bernoulli)(k_dir)
         eps_signed = jnp.where(go_right, step_size, -step_size)
-        edge = _tree_select(go_right, c.right, c.left)
+        edge = _mwhere(go_right, c.right, c.left)
 
         sub = _build_subtree(
-            k_sub,
-            edge,
-            c.depth,
-            eps_signed,
-            start.energy,
-            c.max_energy_change,
-            potential,
-            logp_grad_fn,
-            config,
+            k_sub, edge, c.depth, eps_signed, active,
+            start.energy, c.max_energy_change,
+            velocity_b, kinetic_b, logp_grad_b, config,
         )
-        ok = (~sub.diverging) & (~sub.turning)
+        ok = active & ~sub.diverging & ~sub.turning
         node = sub.node
 
         # Multinomial swap against the *old* tree weight (``nuts.py:321-323``).
-        take_new = logbern(k_swap, node.log_size - c.log_size)
-        proposal = _tree_select(take_new, node.proposal, c.proposal)
-        log_size = jnp.logaddexp(c.log_size, node.log_size)
-        lwas = jnp.logaddexp(c.log_weighted_accept_sum, node.log_weighted_accept_sum)
-        p_sum = c.p_sum + node.p_sum
+        take_new = _logbern_b(k_swap, node.log_size - c.log_size)
+        proposal = _mwhere(ok & take_new, node.proposal, c.proposal)
+        log_size = jnp.where(ok, jnp.logaddexp(c.log_size, node.log_size), c.log_size)
+        lwas = jnp.where(
+            ok,
+            jnp.logaddexp(c.log_weighted_accept_sum, node.log_weighted_accept_sum),
+            c.log_weighted_accept_sum,
+        )
+        p_sum = jnp.where(ok[:, None], c.p_sum + node.p_sum, c.p_sum)
 
-        # New span boundaries in position order: the subtree's far end
-        # (integration-order ``right`` = its last integrated full state)
-        # replaces the extended edge.
-        new_left = _tree_select(go_right, c.left, sub.end_state)
-        new_right = _tree_select(go_right, sub.end_state, c.right)
+        # New span boundaries in position order: the subtree's far end (its
+        # last integrated full state) replaces the extended edge.
+        new_left = _mwhere(ok & ~go_right, sub.end_state, c.left)
+        new_right = _mwhere(ok & go_right, sub.end_state, c.right)
 
-        # 3-way generalized U-turn check (``nuts.py:332-340``).
+        # 3-way generalized U-turn check on the merged span (``nuts.py:332-340``).
         turning_full = _is_turning(p_sum, new_left.v, new_right.v)
-        p_sum1 = jnp.where(go_right, c.p_sum + node.left.p, node.p_sum + c.left.p)
-        v1a = jnp.where(go_right, c.left.v, node.right.v)
-        v1b = jnp.where(go_right, node.left.v, c.left.v)
+        go = go_right[:, None]
+        p_sum1 = jnp.where(go, c.p_sum + node.left.p, node.p_sum + c.left.p)
+        v1a = jnp.where(go, c.left.v, node.right.v)
+        v1b = jnp.where(go, node.left.v, c.left.v)
         turning1 = _is_turning(p_sum1, v1a, v1b)
-        p_sum2 = jnp.where(go_right, c.right.p + node.p_sum, node.left.p + c.p_sum)
-        v2a = jnp.where(go_right, c.right.v, node.left.v)
-        v2b = jnp.where(go_right, node.right.v, c.right.v)
+        p_sum2 = jnp.where(go, c.right.p + node.p_sum, node.left.p + c.p_sum)
+        v2a = jnp.where(go, c.right.v, node.left.v)
+        v2b = jnp.where(go, node.right.v, c.right.v)
         turning2 = _is_turning(p_sum2, v2a, v2b)
         turning_new = turning_full | turning1 | turning2
 
         return _TreeCarry(
-            key=key,
-            left=_tree_select(ok, new_left, c.left),
-            right=_tree_select(ok, new_right, c.right),
-            p_sum=jnp.where(ok, p_sum, c.p_sum),
-            proposal=_tree_select(ok, proposal, c.proposal),
-            log_size=jnp.where(ok, log_size, c.log_size),
-            log_weighted_accept_sum=jnp.where(ok, lwas, c.log_weighted_accept_sum),
+            keys=keys1,
+            left=new_left,
+            right=new_right,
+            p_sum=p_sum,
+            proposal=proposal,
+            log_size=log_size,
+            log_weighted_accept_sum=lwas,
             depth=c.depth + 1,
-            n_proposals=c.n_proposals + sub.n_leaves,
-            max_energy_change=sub.max_energy_change,
-            diverging=sub.diverging,
-            turning=jnp.where(ok, turning_new, sub.turning),
+            depth_c=c.depth_c + active.astype(jnp.int32),
+            n_proposals=c.n_proposals + jnp.where(active, sub.n_leaves, 0),
+            max_energy_change=jnp.where(active, sub.max_energy_change, c.max_energy_change),
+            diverging=c.diverging | (active & sub.diverging),
+            turning=c.turning | (active & jnp.where(ok, turning_new, sub.turning)),
         )
 
     init = _TreeCarry(
-        key=key,
+        keys=keys,
         left=start,
         right=start,
         p_sum=start.p,
         proposal=init_proposal,
-        log_size=jnp.asarray(0.0, dtype),
-        log_weighted_accept_sum=jnp.asarray(-jnp.inf, dtype),
+        log_size=jnp.zeros((C,), dtype),
+        log_weighted_accept_sum=jnp.full((C,), -jnp.inf, dtype),
         depth=jnp.asarray(0, jnp.int32),
-        n_proposals=jnp.asarray(0, jnp.int32),
-        max_energy_change=jnp.asarray(0.0, dtype),
-        diverging=jnp.asarray(False),
-        turning=jnp.asarray(False),
+        depth_c=jnp.zeros((C,), jnp.int32),
+        n_proposals=jnp.zeros((C,), jnp.int32),
+        max_energy_change=jnp.zeros((C,), dtype),
+        diverging=jnp.zeros((C,), bool),
+        turning=jnp.zeros((C,), bool),
     )
     out = lax.while_loop(cond, body, init)
 
@@ -430,13 +493,15 @@ def run_nuts_tree(
     # (``nuts.py:419-425``).
     mean_tree_accept = jnp.where(
         out.log_size > 0,
-        jnp.exp(out.log_weighted_accept_sum - logdiffexp(out.log_size, 0.0)),
+        jnp.exp(
+            out.log_weighted_accept_sum - (out.log_size + log1mexp(out.log_size))
+        ),
         0.0,
     )
     reached_max = (~out.diverging) & (~out.turning)
     return TreeResult(
         proposal=out.proposal,
-        depth=out.depth,
+        depth=out.depth_c,
         n_proposals=out.n_proposals,
         mean_tree_accept=mean_tree_accept,
         max_energy_change=out.max_energy_change,
@@ -447,51 +512,89 @@ def run_nuts_tree(
 
 
 @functools.lru_cache(maxsize=512)
-def build_nuts_kernel(logp_grad_fn: LogpGradFn, config: NUTSConfig = NUTSConfig()):
-    """Build the one-draw NUTS transition ``kernel(state, tuning) -> (state, info)``.
+def build_nuts_kernel(
+    logp_grad_fn: LogpGradFn,
+    config: NUTSConfig = NUTSConfig(),
+    batched_logp_grad_fn: Optional[LogpGradFn] = None,
+):
+    """Build the chain-batched NUTS transition ``kernel(states, tuning)``.
 
     Counterpart of ``BaseHMC._astep`` + ``NUTS._hamiltonian_step``
-    (``base_hmc.py:140-190``, ``nuts.py:204-224``), as a pure function
-    suitable for ``vmap`` over chains and ``lax.scan`` over draws.
-    Memoized on ``(logp_grad_fn, config)`` so repeated drivers reuse the
-    same kernel object (and therefore downstream jit caches).
-    """
+    (``base_hmc.py:140-190``, ``nuts.py:204-224``). ``states`` is a
+    :class:`~littlemcmc_tpu.base.ChainState` with a leading ``chains``
+    axis on every leaf; the kernel returns ``(new_states, NUTSInfo)`` with
+    the same batching. Memoized on its arguments so repeated drivers
+    reuse jit caches.
 
-    def kernel(state: ChainState, tuning: jax.Array) -> Tuple[ChainState, NUTSInfo]:
-        key, k_momentum, k_tree, k_sr = jax.random.split(state.rng_key, 4)
-        start = start_of_trajectory(state, k_momentum)
+    ``batched_logp_grad_fn`` optionally overrides the model evaluation
+    with a natively-batched ``(C, n) -> ((C,), (C, n))`` implementation
+    (e.g. a fused Pallas kernel); the default is ``vmap`` of the
+    per-chain function.
+    """
+    logp_grad_b = (
+        batched_logp_grad_fn
+        if batched_logp_grad_fn is not None
+        else jax.vmap(logp_grad_fn)
+    )
+
+    def kernel(states: ChainState, tuning) -> Tuple[ChainState, NUTSInfo]:
+        key_next, k_mom, k_tree, k_sr = _split_each(states.rng_key, 4)
+
+        # Fresh momentum and the trajectory start (cached model eval).
+        p0 = jax.vmap(lambda pot, k: pot.sample_momentum(k))(states.potential, k_mom)
+        v0 = jax.vmap(lambda pot, p: pot.velocity(p))(states.potential, p0)
+        kin = jax.vmap(lambda pot, p, v: pot.kinetic(p, v))(states.potential, p0, v0)
+        start = IntegratorState(
+            states.q, p0, v0, states.q_grad, kin - states.logp, states.logp
+        )
 
         adapting = jnp.logical_and(tuning, config.adapt_step_size)
-        step_size = state.da.current(adapting)
+        step_size = states.da.current(adapting)  # (C,)
         if config.step_rand is not None:
-            step_size = config.step_rand(step_size, k_sr)
+            step_size = jax.vmap(config.step_rand)(step_size, k_sr)
 
         # Early-treedepth schedule: first `early_window` tuning iterations
         # cap the tree at `early_max_treedepth` (``nuts.py:205-208``).
-        early = jnp.logical_and(tuning, state.iter_count < config.early_window)
-        max_depth = jnp.where(early, config.early_max_treedepth, config.max_treedepth)
+        early = jnp.logical_and(tuning, states.iter_count < config.early_window)
+        max_depth_c = jnp.where(
+            early, config.early_max_treedepth, config.max_treedepth
+        ).astype(jnp.int32)
 
         tree = run_nuts_tree(
-            k_tree, start, step_size, max_depth, state.potential, logp_grad_fn, config
+            k_tree, start, step_size, max_depth_c,
+            states.potential, logp_grad_b, config,
         )
 
-        new_state = finish_step(
-            state,
-            key,
-            tree.proposal.q,
-            tree.proposal.q_grad,
-            tree.proposal.logp,
+        # Adaptation updates (``base_hmc.py:161-162``).
+        da = dual_average_update(
+            states.da,
             tree.mean_tree_accept,
-            tuning,
-            config,
+            adapting,
+            target=config.target_accept,
+            gamma=config.gamma,
+            k=config.k,
+            t0=config.t0,
+        )
+        potential = jax.vmap(lambda pot, q, g: pot.update(q, g, tuning))(
+            states.potential, tree.proposal.q, tree.proposal.q_grad
+        )
+
+        new_states = ChainState(
+            rng_key=key_next,
+            q=tree.proposal.q,
+            q_grad=tree.proposal.q_grad,
+            logp=tree.proposal.logp,
+            potential=potential,
+            da=da,
+            iter_count=states.iter_count + 1,
         )
 
         info = NUTSInfo(
             depth=tree.depth,
-            step_size=jnp.exp(new_state.da.log_step),
-            tune=tuning,
+            step_size=jnp.exp(da.log_step),
+            tune=jnp.broadcast_to(tuning, tree.depth.shape),
             mean_tree_accept=tree.mean_tree_accept,
-            step_size_bar=jnp.exp(new_state.da.log_bar),
+            step_size_bar=jnp.exp(da.log_bar),
             tree_size=tree.n_proposals.astype(start.q.dtype),
             diverging=tree.diverging,
             energy_error=tree.proposal.energy - start.energy,
@@ -502,6 +605,6 @@ def build_nuts_kernel(logp_grad_fn: LogpGradFn, config: NUTSConfig = NUTSConfig(
                 tree.reached_max_treedepth, jnp.logical_not(tuning)
             ),
         )
-        return new_state, info
+        return new_states, info
 
     return kernel

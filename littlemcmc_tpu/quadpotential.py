@@ -534,6 +534,11 @@ def quad_potential(C, is_cov: bool) -> Potential:
     branch: a 1-D ``C`` is a diagonal, 2-D is dense; ``is_cov`` selects
     covariance vs precision parameterization.
     """
+    if type(C).__module__.startswith("scipy.sparse"):
+        # The reference's sparse branch is dead code (it references an
+        # undefined QuadPotentialSparse, ``quadpotential.py:49-53``);
+        # sparse metrics are explicitly unsupported here.
+        raise ValueError("Sparse scaling matrices are not supported.")
     C = jnp.asarray(C)
     partial_check_positive_definite(C)
     if C.ndim == 1:

@@ -297,7 +297,7 @@ def _make_runner(kernel, tune: int, draws: int, collect_tune: bool,
     """
     from .parallel.cross_chain import cross_chain_potential_pool
 
-    batched_kernel = jax.vmap(kernel, in_axes=(0, None))
+    batched_kernel = kernel  # kernels are chain-batched by construction
 
     def phase(states, n_steps: int, tuning: bool, collect: bool):
         def body(s, _):
@@ -328,7 +328,7 @@ def _make_chunk_runner(kernel, chunk: int, tuning: bool, collect: bool,
     """
     from .parallel.cross_chain import cross_chain_potential_pool
 
-    batched_kernel = jax.vmap(kernel, in_axes=(0, None))
+    batched_kernel = kernel  # kernels are chain-batched by construction
 
     @jax.jit
     def run_chunk(states):
