@@ -461,6 +461,8 @@ def sample(
     chain_idx: int = 0,
     callback=None,
     logp_fn=None,
+    mp_ctx=None,
+    pickle_backend: str = "pickle",
     mesh: Optional[Mesh] = None,
     chain_axis: str = "chains",
     dtype=jnp.float32,
@@ -495,7 +497,9 @@ def sample(
     model_ndim)``; ``stats`` maps stat names to ``(chains, draws)`` arrays
     with the reference's dtypes (``nuts.py:87-101``, ``hmc.py:36-50``).
     """
-    del chain_idx  # accepted for API parity
+    # Accepted for signature parity with the reference (``sampling.py:48-51``);
+    # meaningless here: there are no worker processes to seed or pickle into.
+    del chain_idx, mp_ctx, pickle_backend
     if cores is not None:
         _log.info("`cores` is ignored on TPU; chains are vectorized on device.")
     if chains is None:
