@@ -29,10 +29,10 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .base import ChainState, HMCConfig, NUTSConfig, init_chain_state
-from .hmc import HMCInfo, build_hmc_kernel
+from .base import HMCConfig, NUTSConfig, init_chain_state
+from .hmc import build_hmc_kernel
 from .model import as_logp_grad
-from .nuts import NUTSInfo, build_nuts_kernel
+from .nuts import build_nuts_kernel
 from .quadpotential import (
     QuadPotentialDiagAdapt,
     QuadPotentialFullAdapt,

@@ -8,8 +8,7 @@ TensorBoard/XProf/Perfetto.
 from __future__ import annotations
 
 import contextlib
-import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np
