@@ -1,5 +1,5 @@
 """Utilities: convergence diagnostics, checkpointing, progress."""
 
-from .diagnostics import ess_bulk, split_rhat, summary
+from .diagnostics import bfmi, ess_bulk, split_rhat, summary, to_arviz
 
-__all__ = ["ess_bulk", "split_rhat", "summary"]
+__all__ = ["bfmi", "ess_bulk", "split_rhat", "summary", "to_arviz"]

@@ -16,7 +16,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["split_rhat", "ess_bulk", "summary"]
+__all__ = ["split_rhat", "ess_bulk", "bfmi", "summary", "to_arviz"]
 
 
 def _split_chains(x: np.ndarray) -> np.ndarray:
@@ -154,6 +154,43 @@ def ess_bulk(x: np.ndarray, rank_normalized: bool = True) -> float:
     tau = -1.0 + 2.0 * rho[0] + 2.0 * pair.sum()
     tau = max(tau, 1.0 / np.log10(c * n + 10.0))  # guard against tau < tiny
     return float(c * n / tau)
+
+
+def bfmi(energy: np.ndarray) -> np.ndarray:
+    """Bayesian fraction of missing information, per chain.
+
+    ``energy``: (chains, draws) Hamiltonian energies (the ``energy`` stat).
+    Values well below ~0.3 indicate the momentum resampling cannot explore
+    the energy marginal (e.g. heavy tails). The reference exposes the
+    energy stat but no BFMI computation.
+    """
+    energy = np.asarray(energy, np.float64)
+    diff_var = np.var(np.diff(energy, axis=1), axis=1)
+    energy_var = np.var(energy, axis=1)
+    return diff_var / energy_var
+
+
+def to_arviz(trace: np.ndarray, stats: Optional[Dict[str, np.ndarray]] = None,
+             var_name: str = "x"):
+    """Package a run as an ``arviz.InferenceData`` (requires arviz).
+
+    Counterpart of the reference cookbook's ArviZ bridge snippet
+    (``docs/tutorials/framework_cookbook.rst:200-206``).
+    """
+    import arviz as az  # optional dependency
+
+    sample_stats = None
+    if stats is not None:
+        rename = {"mean_tree_accept": "acceptance_rate", "depth": "tree_depth",
+                  "diverging": "diverging", "energy": "energy",
+                  "step_size": "step_size", "tree_size": "n_steps"}
+        sample_stats = {
+            rename.get(k, k): np.asarray(v) for k, v in stats.items()
+        }
+    return az.from_dict(
+        posterior={var_name: np.asarray(trace)},
+        sample_stats=sample_stats,
+    )
 
 
 def summary(trace: np.ndarray, stats: Optional[Dict[str, np.ndarray]] = None) -> Dict[str, np.ndarray]:

@@ -46,3 +46,14 @@ def test_summary_shapes():
     assert s["mean"].shape == (3,)
     assert s["rhat"].shape == (3,)
     assert np.isfinite(s["ess_bulk"]).all()
+
+
+def test_bfmi_behaviour():
+    from littlemcmc_tpu.utils import bfmi
+    rng = np.random.RandomState(5)
+    # iid energies -> BFMI ~ 2 (diff var = 2*var)
+    e_good = rng.randn(2, 2000)
+    assert (bfmi(e_good) > 1.5).all()
+    # highly autocorrelated energies -> small BFMI
+    e_bad = np.cumsum(rng.randn(2, 2000) * 0.01, axis=1) + rng.randn(2, 1)
+    assert (bfmi(e_bad) < 0.3).all()
