@@ -58,13 +58,16 @@ def warnings_from_stats(
     target_accept: float = 0.8,
     max_treedepth: Optional[int] = None,
     tune: int = 0,
+    trace: Optional[np.ndarray] = None,
 ) -> List[SamplerWarning]:
     """Aggregate end-of-run warnings from ``(chains, draws)`` stats arrays.
 
     ``stats`` holds only post-tune draws (the default ``sample()`` output).
     Reproduces the divergence-count warning (``base_hmc.py:206-227``), the
     NUTS tree-depth warning (``nuts.py:226-238``), and the dual-averaging
-    acceptance-interval warning (``step_sizes.py:101-121``).
+    acceptance-interval warning (``step_sizes.py:101-121``); additionally
+    fills in the reference's declared-but-unused CONVERGENCE (split R-hat,
+    when ``trace`` is given) and BAD_ENERGY (BFMI) warning kinds.
     """
     warns: List[SamplerWarning] = []
 
@@ -111,6 +114,43 @@ def warnings_from_stats(
                 info = {"target": target_accept, "actual": mean_accept}
                 warns.append(
                     SamplerWarning(WarningType.BAD_ACCEPTANCE, msg, "warn", None, None, info)
+                )
+
+    if "energy" in stats:
+        from .utils.diagnostics import bfmi
+
+        energy = np.asarray(stats["energy"], np.float64)
+        if energy.shape[-1] >= 4:
+            fractions = bfmi(energy)
+            if np.nanmin(fractions) < 0.2:
+                msg = (
+                    "The energy transitions are inefficient (BFMI = %.3f < 0.2). "
+                    "The posterior likely has heavy tails; reparameterize."
+                    % float(np.nanmin(fractions))
+                )
+                warns.append(
+                    SamplerWarning(WarningType.BAD_ENERGY, msg, "warn", None, None,
+                                   {"bfmi": fractions})
+                )
+
+    if trace is not None:
+        from .utils.diagnostics import split_rhat
+
+        trace = np.asarray(trace)
+        if trace.shape[0] >= 2 and trace.shape[1] >= 4:
+            rhats = np.array(
+                [split_rhat(trace[:, :, i]) for i in range(trace.shape[2])]
+            )
+            worst = float(np.nanmax(rhats))
+            if worst > 1.05:
+                msg = (
+                    "The rank-normalized split R-hat statistic is larger than "
+                    "1.05 for some parameters (max %.3f). The chains likely "
+                    "have not mixed; run longer or reparameterize." % worst
+                )
+                warns.append(
+                    SamplerWarning(WarningType.CONVERGENCE, msg, "warn", None, None,
+                                   {"rhat": rhats})
                 )
 
     return warns

@@ -247,3 +247,27 @@ def test_warnings_from_stats():
     warns = lmc.warnings_from_stats(stats, target_accept=0.8, max_treedepth=10)
     kinds = [w.kind for w in warns]
     assert lmc.WarningType.DIVERGENCES not in kinds
+
+
+def test_convergence_warning_on_stuck_chains():
+    """A fabricated non-mixing trace triggers the CONVERGENCE warning."""
+    rng = np.random.RandomState(0)
+    trace = rng.randn(4, 300, 2)
+    trace[0] += 10.0  # one chain stuck elsewhere
+    stats = {"diverging": np.zeros((4, 300), bool),
+             "mean_tree_accept": np.full((4, 300), 0.8),
+             "energy": rng.randn(4, 300)}
+    warns = lmc.warnings_from_stats(stats, target_accept=0.8, trace=trace)
+    kinds = [w.kind for w in warns]
+    assert lmc.WarningType.CONVERGENCE in kinds
+
+
+def test_bad_energy_warning():
+    rng = np.random.RandomState(1)
+    energy = np.cumsum(rng.randn(2, 500) * 0.01, axis=1)  # sticky energies
+    stats = {"diverging": np.zeros((2, 500), bool),
+             "mean_tree_accept": np.full((2, 500), 0.8),
+             "energy": energy}
+    warns = lmc.warnings_from_stats(stats, target_accept=0.8)
+    kinds = [w.kind for w in warns]
+    assert lmc.WarningType.BAD_ENERGY in kinds
