@@ -38,6 +38,9 @@ class _BaseConfig:
     # Optional traceable step-size jitter, ``(step_size, key) -> step_size``
     # (reference's host-side ``step_rand`` callback, ``base_hmc.py:154-155``).
     step_rand: object = None
+    # Symplectic scheme: "leapfrog" (reference parity), "two_stage", or
+    # "three_stage" minimal-norm splittings (see integration.py).
+    integrator: str = "leapfrog"
 
 
 @dataclasses.dataclass(frozen=True)

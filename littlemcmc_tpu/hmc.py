@@ -72,7 +72,9 @@ def run_hmc_trajectory(
 
     def body(carry):
         i, state = carry
-        return i + 1, leapfrog(potential, logp_grad_fn, step_size, state)
+        return i + 1, leapfrog(
+            potential, logp_grad_fn, step_size, state, config.integrator
+        )
 
     _, end = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), start))
 

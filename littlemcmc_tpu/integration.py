@@ -14,7 +14,31 @@ from typing import Callable, NamedTuple, Tuple
 
 import jax
 
-__all__ = ["IntegratorState", "compute_state", "leapfrog"]
+__all__ = ["IntegratorState", "compute_state", "leapfrog", "INTEGRATOR_COEFFS"]
+
+# Palindromic splitting coefficients: kick weights b (len = stages + 1) and
+# drift weights a (len = stages). One model (gradient) evaluation per drift.
+#
+# - "leapfrog": velocity Verlet, the reference's only integrator
+#   (``integration.py:100-121``).
+# - "two_stage": minimal-norm two-stage scheme of Blanes, Casas &
+#   Sanz-Serna (2014) (McLachlan coefficients) — ~half the energy-error
+#   constant of leapfrog per model eval; run with ~1.5-2x the step size.
+# - "three_stage": minimal-norm three-stage scheme (ibid.).
+#
+# See PAPERS.md: "On the application of higher order symplectic
+# integrators in Hamiltonian Monte Carlo".
+_LAMBDA_2 = 0.1931833275037836
+_A1_3 = 0.29619504261126
+_B1_3 = 0.11888010966548
+INTEGRATOR_COEFFS = {
+    "leapfrog": ((0.5, 0.5), (1.0,)),
+    "two_stage": ((_LAMBDA_2, 1.0 - 2.0 * _LAMBDA_2, _LAMBDA_2), (0.5, 0.5)),
+    "three_stage": (
+        (_B1_3, 0.5 - _B1_3, 0.5 - _B1_3, _B1_3),
+        (_A1_3, 1.0 - 2.0 * _A1_3, _A1_3),
+    ),
+}
 
 LogpGradFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
 
@@ -56,24 +80,30 @@ def recompute_with_momentum(
 
 
 def leapfrog(
-    potential, logp_grad_fn: LogpGradFn, epsilon: jax.Array, state: IntegratorState
+    potential,
+    logp_grad_fn: LogpGradFn,
+    epsilon: jax.Array,
+    state: IntegratorState,
+    scheme: str = "leapfrog",
 ) -> IntegratorState:
-    """One kick-drift-kick leapfrog step (reference ``integration.py:100-121``).
+    """One symplectic integrator step (default: kick-drift-kick leapfrog).
 
-    Like the reference, the returned velocity is ``M^{-1} p_final`` (the
-    reference's ``velocity_energy`` overwrites ``v_new`` in place at
-    ``integration.py:118``), which is what the NUTS U-turn checks consume.
+    Matches reference ``integration.py:100-121`` for the default scheme;
+    ``scheme`` selects a higher-order palindromic splitting from
+    :data:`INTEGRATOR_COEFFS`. Like the reference, the returned velocity
+    is ``M^{-1} p_final`` (the reference's ``velocity_energy`` overwrites
+    ``v_new`` in place at ``integration.py:118``), which is what the NUTS
+    U-turn checks consume.
     """
-    dt = 0.5 * epsilon
+    b, a = INTEGRATOR_COEFFS[scheme]
 
-    # Half momentum step.
-    p = state.p + dt * state.q_grad
-    # Whole position step.
-    v_half = potential.velocity(p)
-    q = (state.q + epsilon * v_half).astype(state.q.dtype)
-    # Half momentum step with the fresh gradient.
-    logp, grad = logp_grad_fn(q)
-    p = p + dt * grad
+    p = state.p + (b[0] * epsilon) * state.q_grad
+    q, logp, grad = state.q, state.model_logp, state.q_grad
+    for i, ai in enumerate(a):
+        v = potential.velocity(p)
+        q = (q + (ai * epsilon) * v).astype(state.q.dtype)
+        logp, grad = logp_grad_fn(q)
+        p = p + (b[i + 1] * epsilon) * grad
 
     v = potential.velocity(p)
     kinetic = potential.kinetic(p, v)

@@ -188,14 +188,21 @@ def _make_batched_potential_ops(potential):
     )
 
 
-def _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, state: IntegratorState):
-    """Batched kick-drift-kick leapfrog (reference ``integration.py:100-121``)."""
-    dt = (0.5 * epsilon)[:, None]
-    p = state.p + dt * state.q_grad
-    v_half = velocity_b(p)
-    q = (state.q + epsilon[:, None] * v_half).astype(state.q.dtype)
-    logp, grad = logp_grad_b(q)
-    p = p + dt * grad
+def _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, state: IntegratorState,
+                scheme: str = "leapfrog"):
+    """Batched symplectic step (reference ``integration.py:100-121`` for
+    the default scheme; higher-order palindromic splittings otherwise)."""
+    from .integration import INTEGRATOR_COEFFS
+
+    b, a = INTEGRATOR_COEFFS[scheme]
+    eps = epsilon[:, None]
+    p = state.p + (b[0] * eps) * state.q_grad
+    q, logp, grad = state.q, state.model_logp, state.q_grad
+    for i, ai in enumerate(a):
+        v = velocity_b(p)
+        q = (q + (ai * eps) * v).astype(state.q.dtype)
+        logp, grad = logp_grad_b(q)
+        p = p + (b[i + 1] * eps) * grad
     v = velocity_b(p)
     kin = kinetic_b(p, v)
     return IntegratorState(q, p, v, grad, kin - logp, logp)
@@ -268,7 +275,9 @@ def _build_subtree(
         return (c.leaf_idx < n_total) & jnp.any(c.building)
 
     def body(c: _BuildCarry) -> _BuildCarry:
-        new_state = _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, c.cur)
+        new_state = _leapfrog_b(
+            velocity_b, kinetic_b, logp_grad_b, epsilon, c.cur, config.integrator
+        )
         # Freeze chains that are done: keeps their state clean and avoids
         # runaway NaN positions in frozen lanes.
         new_state = _mwhere(c.building, new_state, c.cur)

@@ -117,6 +117,7 @@ class NUTS(_StepSpec):
         path_length: float = 2.0,
         max_treedepth: int = 10,
         early_max_treedepth: int = 8,
+        integrator: str = "leapfrog",
     ):
         super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
         del path_length  # accepted for constructor parity; NUTS does not use it
@@ -131,6 +132,7 @@ class NUTS(_StepSpec):
             step_rand=step_rand,
             max_treedepth=int(max_treedepth),
             early_max_treedepth=int(early_max_treedepth),
+            integrator=str(integrator),
         )
 
     def build_kernel(self, logp_grad_fn: LogpGradFn):
@@ -175,6 +177,7 @@ class HamiltonianMC(_StepSpec):
         step_rand=None,
         path_length: float = 2.0,
         max_steps: int = 1024,
+        integrator: str = "leapfrog",
     ):
         super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
         self.config = HMCConfig(
@@ -188,6 +191,7 @@ class HamiltonianMC(_StepSpec):
             step_rand=step_rand,
             path_length=float(path_length),
             max_steps=int(max_steps),
+            integrator=str(integrator),
         )
 
     def build_kernel(self, logp_grad_fn: LogpGradFn):

@@ -79,3 +79,47 @@ def test_final_velocity_matches_final_momentum():
     np.testing.assert_allclose(
         np.asarray(nxt.v), np.asarray(pot.velocity(nxt.p)), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("scheme", ["two_stage", "three_stage"])
+def test_higher_order_reversible(scheme):
+    ndim = 4
+    q = jax.random.normal(jax.random.key(2), (ndim,))
+    p = jax.random.normal(jax.random.key(3), (ndim,))
+    pot = QuadPotentialDiag.create(jnp.full((ndim,), 1.3))
+    state = compute_state(pot, logp_grad, q, p)
+    fwd = state
+    for _ in range(10):
+        fwd = leapfrog(pot, logp_grad, jnp.asarray(0.1), fwd, scheme)
+    back = fwd
+    for _ in range(10):
+        back = leapfrog(pot, logp_grad, jnp.asarray(-0.1), back, scheme)
+    np.testing.assert_allclose(np.asarray(back.q), np.asarray(state.q), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(back.p), np.asarray(state.p), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("scheme", ["two_stage", "three_stage"])
+def test_higher_order_smaller_energy_error(scheme):
+    """At equal *model-eval budget*, minimal-norm schemes beat leapfrog.
+
+    Per step: leapfrog = 1 eval, two_stage = 2, three_stage = 3. Compare
+    energy drift per eval with the same total path length.
+    """
+    ndim = 6
+    q = jax.random.normal(jax.random.key(4), (ndim,))
+    p = jax.random.normal(jax.random.key(5), (ndim,))
+    pot = QuadPotentialDiag.create(jnp.ones(ndim))
+    start = compute_state(pot, logp_grad, q, p)
+
+    def max_err(sch, eps, n):
+        s, worst = start, 0.0
+        for _ in range(n):
+            s = leapfrog(pot, logp_grad, jnp.asarray(eps), s, sch)
+            worst = max(worst, abs(float(s.energy) - float(start.energy)))
+        return worst
+
+    n_evals = {"two_stage": 2, "three_stage": 3}[scheme]
+    base = max_err("leapfrog", 0.25, 24)
+    # same eval budget: n steps = 24 / n_evals at step size 0.25 * n_evals
+    high = max_err(scheme, 0.25 * n_evals, 24 // n_evals)
+    assert high < base

@@ -271,3 +271,21 @@ def test_bad_energy_warning():
     warns = lmc.warnings_from_stats(stats, target_accept=0.8)
     kinds = [w.kind for w in warns]
     assert lmc.WarningType.BAD_ENERGY in kinds
+
+
+def test_higher_order_integrator_end_to_end():
+    """NUTS with the two-stage minimal-norm integrator recovers N(0,1)."""
+    step = lmc.NUTS(model_ndim=1, integrator="two_stage", step_scale=0.5)
+    trace, stats = lmc.sample(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=1,
+        draws=400,
+        tune=400,
+        chains=2,
+        step=step,
+        random_seed=21,
+        progressbar=False,
+    )
+    assert abs(trace.mean()) < 0.15
+    assert abs(trace.std() - 1.0) < 0.15
+    assert stats["diverging"].mean() < 0.01
