@@ -225,6 +225,7 @@ class _BuildCarry(NamedTuple):
 class _SubtreeResult(NamedTuple):
     node: TreeNode
     end_state: IntegratorState
+    stack: TreeNode  # scratch, returned so the caller can thread it
     n_leaves: jax.Array
     max_energy_change: jax.Array
     diverging: jax.Array
@@ -239,6 +240,7 @@ def _build_subtree(
     active,
     start_energy,
     max_energy_change0,
+    stack0: TreeNode,
     velocity_b,
     kinetic_b,
     logp_grad_b,
@@ -251,15 +253,18 @@ def _build_subtree(
     chains; ``active``/``building`` masks freeze chains that aborted. On
     abort only ``n_leaves``, the flags and ``max_energy_change`` are
     meaningful to the caller (reference abort semantics, ``nuts.py:316-319``).
+
+    ``stack0`` is the caller-owned scratch stack: its contents are never
+    read before being written (every ``peek`` follows a ``push`` to that
+    slot), so it is threaded through the trajectory loop instead of being
+    re-materialized — zeroing a fresh (max_treedepth, C, n)-sized stack on
+    every doubling costs tens of MB of HBM writes per draw at scale.
     """
     n_total = jnp.left_shift(jnp.asarray(1, jnp.int32), depth)
     emax = jnp.asarray(config.Emax, edge.q.dtype)
     C = edge.q.shape[0]
 
     dummy_node = _leaf_node(edge, jnp.zeros((C,), edge.energy.dtype))
-    stack0 = jax.tree.map(
-        lambda x: jnp.zeros((config.max_treedepth,) + jnp.shape(x), x.dtype), dummy_node
-    )
 
     def push(stack, node, h):
         return jax.tree.map(
@@ -360,6 +365,7 @@ def _build_subtree(
     return _SubtreeResult(
         node=final_node,
         end_state=out.cur,
+        stack=out.stack,
         n_leaves=out.n_leaves,
         max_energy_change=out.max_energy_change,
         diverging=out.diverging,
@@ -369,6 +375,7 @@ def _build_subtree(
 
 class _TreeCarry(NamedTuple):
     keys: jax.Array
+    stack: TreeNode  # scratch for subtree builds, allocated once
     left: IntegratorState
     right: IntegratorState
     p_sum: jax.Array
@@ -430,7 +437,7 @@ def run_nuts_tree(
 
         sub = _build_subtree(
             k_sub, edge, c.depth, eps_signed, active,
-            start.energy, c.max_energy_change,
+            start.energy, c.max_energy_change, c.stack,
             velocity_b, kinetic_b, logp_grad_b, config,
         )
         ok = active & ~sub.diverging & ~sub.turning
@@ -467,6 +474,7 @@ def run_nuts_tree(
 
         return _TreeCarry(
             keys=keys1,
+            stack=sub.stack,
             left=new_left,
             right=new_right,
             p_sum=p_sum,
@@ -481,8 +489,13 @@ def run_nuts_tree(
             turning=c.turning | (active & jnp.where(ok, turning_new, sub.turning)),
         )
 
+    zero_node = _leaf_node(start, jnp.zeros((C,), dtype))
+    stack0 = jax.tree.map(
+        lambda x: jnp.zeros((config.max_treedepth,) + jnp.shape(x), x.dtype), zero_node
+    )
     init = _TreeCarry(
         keys=keys,
+        stack=stack0,
         left=start,
         right=start,
         p_sum=start.p,
