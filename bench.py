@@ -70,7 +70,7 @@ def main():
     # (progress + checkpoints). One tune chunk + one draw chunk compile.
     from littlemcmc_tpu.sampling import _make_chunk_runner
 
-    CHUNK = 50
+    CHUNK = 250
     assert TUNE % CHUNK == 0 and DRAWS % CHUNK == 0
     tune_chunk = _make_chunk_runner(kernel, CHUNK, True, False, False)
     draw_chunk = _make_chunk_runner(kernel, CHUNK, False, True, False)

@@ -39,7 +39,8 @@ class LogisticRegression:
     Parameters are ``q = [intercept, beta...]`` (``n_features + 1`` dims).
     """
 
-    def __init__(self, X=None, y=None, prior_scale: float = 10.0, dtype=jnp.float32):
+    def __init__(self, X=None, y=None, prior_scale: float = 10.0, dtype=jnp.float32,
+                 use_pallas: bool = False):
         if X is None:
             X, y = german_credit_synthetic()
         X = np.asarray(X, np.float64)
@@ -51,6 +52,13 @@ class LogisticRegression:
         self.ndim = p + 1
         self.prior_scale = float(prior_scale)
         self.dtype = dtype
+        self._batched_pallas = None
+        if use_pallas:
+            from ..ops.logistic_pallas import make_logistic_logp_grad
+
+            self._batched_pallas = make_logistic_logp_grad(
+                np.concatenate([np.ones((n, 1)), X], axis=1), y, self.prior_scale
+            )
 
     def logp(self, q: jax.Array) -> jax.Array:
         logits = jnp.dot(self._Xb, q, preferred_element_type=self._Xb.dtype)
@@ -69,3 +77,9 @@ class LogisticRegression:
             - q / self.prior_scale ** 2
         )
         return loglik + logprior, grad
+
+    def batched_logp_grad(self, q: jax.Array):
+        """Chain-batched ``(logp, grad)``; fused Pallas path if enabled."""
+        if self._batched_pallas is not None:
+            return self._batched_pallas(q)
+        return jax.vmap(self.logp_grad)(q)

@@ -118,9 +118,13 @@ class NUTS(_StepSpec):
         max_treedepth: int = 10,
         early_max_treedepth: int = 8,
         integrator: str = "leapfrog",
+        batched_logp_dlogp_func=None,
     ):
         super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
         del path_length  # accepted for constructor parity; NUTS does not use it
+        # Optional natively-batched (C, n) -> ((C,), (C, n)) model, e.g. a
+        # fused Pallas kernel; overrides vmap of the per-chain model.
+        self.batched_logp_dlogp_func = batched_logp_dlogp_func
         self.config = NUTSConfig(
             target_accept=float(target_accept),
             Emax=float(Emax),
@@ -136,7 +140,9 @@ class NUTS(_StepSpec):
         )
 
     def build_kernel(self, logp_grad_fn: LogpGradFn):
-        return build_nuts_kernel(logp_grad_fn, self.config)
+        return build_nuts_kernel(
+            logp_grad_fn, self.config, self.batched_logp_dlogp_func
+        )
 
 
 class HamiltonianMC(_StepSpec):
@@ -354,7 +360,7 @@ def _make_chunk_runner(kernel, chunk: int, tuning: bool, collect: bool,
     return run_chunk
 
 
-_AUTO_CHUNK = 100
+_AUTO_CHUNK = 250
 
 
 def _run_chunked(

@@ -40,3 +40,31 @@ def test_batched_model_pallas_flag():
     logp_x, grad_x = m2.batched_logp_grad(q)
     np.testing.assert_allclose(np.asarray(logp_p), np.asarray(logp_x), rtol=2e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_x), rtol=2e-4, atol=1e-4)
+
+
+def test_logistic_pallas_matches_xla():
+    from littlemcmc_tpu.models import LogisticRegression, german_credit_synthetic
+
+    X, y = german_credit_synthetic(300, 9)
+    m_p = LogisticRegression(X, y, prior_scale=5.0, use_pallas=True)
+    m_x = LogisticRegression(X, y, prior_scale=5.0)
+    q = jnp.asarray(np.random.RandomState(3).randn(6, m_p.ndim).astype(np.float32) * 0.3)
+    lp_p, g_p = m_p.batched_logp_grad(q)
+    lp_x, g_x = m_x.batched_logp_grad(q)
+    np.testing.assert_allclose(np.asarray(lp_p), np.asarray(lp_x), rtol=3e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=3e-4, atol=1e-3)
+
+
+def test_nuts_with_batched_pallas_model_end_to_end():
+    import littlemcmc_tpu as lmc
+    from littlemcmc_tpu.models import LogisticRegression, german_credit_synthetic
+
+    X, y = german_credit_synthetic(200, 5)
+    m = LogisticRegression(X, y, prior_scale=5.0, use_pallas=True)
+    step = lmc.NUTS(model_ndim=m.ndim, batched_logp_dlogp_func=m.batched_logp_grad)
+    trace, stats = lmc.sample(
+        logp_dlogp_func=m.logp_grad, model_ndim=m.ndim, draws=100, tune=100,
+        chains=2, step=step, random_seed=8, progressbar=False,
+    )
+    assert trace.shape == (2, 100, m.ndim)
+    assert stats["diverging"].mean() < 0.1
