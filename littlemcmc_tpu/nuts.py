@@ -23,6 +23,24 @@ per-lane gathers or scatters**, which a ``vmap``-ed per-chain stack would
 require (slow and fault-prone on TPU). All bulk data is ``(chains, n)``,
 exactly the 2-D layout the VPU tiles natively.
 
+The hot-loop working set is kept deliberately *slim* so XLA can keep the
+while-loop carries VMEM-resident (HBM traffic per leaf is what bounds
+throughput once the model itself is cheap; measured: a bare fused
+leapfrog at 1024x100 costs ~1.8 us, so every extra (chains, n) array
+written per leaf costs ~30% of a leapfrog):
+
+- the merge stack stores per subtree only ``(left_p, right_p, p_sum,
+  proposal q)`` — velocities at subtree boundaries are *recomputed* from
+  the stored momenta at each U-turn check (for diagonal metrics this
+  fuses into the dot product and costs no extra memory traffic; the
+  reference instead stores full ``State`` objects at every boundary,
+  ``nuts.py:246-248``);
+- the proposal's gradient is not carried through the tree at all — it is
+  recomputed with one extra batched model evaluation per transition when
+  the accepted proposal is known (the reference caches it in ``State``);
+- the integrator carry drops the velocity field (the leapfrog
+  re-derives it from ``p`` internally).
+
 Divergences (``|ΔE| ≥ Emax``, NaN ⇒ ∞; reference ``nuts.py:353-358``) and
 turning are boolean masks instead of exceptions. Chains stopped early are
 frozen by masking; the loops run until the slowest chain finishes — the
@@ -39,7 +57,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from .base import ChainState, NUTSConfig
-from .integration import IntegratorState
 from .math import log1mexp
 from .step_sizes import dual_average_update
 
@@ -48,34 +65,35 @@ __all__ = ["NUTSConfig", "NUTSInfo", "build_nuts_kernel"]
 LogpGradFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
 
 
-class Proposal(NamedTuple):
-    """Candidate next position (reference ``nuts.py:243``); batched (C, ...)."""
+class PhaseState(NamedTuple):
+    """Slim phase-space point for the NUTS hot loop; batched (C, ...).
+
+    The velocity is intentionally absent (recomputed from ``p`` where
+    needed) — see the module docstring.
+    """
 
     q: jax.Array
+    p: jax.Array
     q_grad: jax.Array
     energy: jax.Array
     logp: jax.Array
 
 
-class Boundary(NamedTuple):
-    """Momentum/velocity at a subtree end — all the U-turn checks read.
+class TreeNode(NamedTuple):
+    """A completed subtree, boundaries in integration order; batched.
 
-    The reference stores full states at subtree boundaries
-    (``nuts.py:246-248``); only ``p`` and ``v`` feed the termination
-    criterion, so the merge stack stores just these two vectors per end.
+    ``left_p``/``right_p`` are the momenta at the subtree's two ends —
+    all the U-turn criterion needs besides ``p_sum`` (velocities are
+    recomputed). ``q``/``energy``/``logp`` are the subtree's multinomial
+    proposal (reference ``nuts.py:243-248``).
     """
 
-    p: jax.Array
-    v: jax.Array
-
-
-class TreeNode(NamedTuple):
-    """A completed subtree, boundaries in integration order; batched."""
-
-    left: Boundary
-    right: Boundary
+    left_p: jax.Array
+    right_p: jax.Array
     p_sum: jax.Array
-    proposal: Proposal
+    q: jax.Array
+    energy: jax.Array
+    logp: jax.Array
     log_size: jax.Array
     log_weighted_accept_sum: jax.Array
 
@@ -113,11 +131,6 @@ def _rowdot(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(a * b, axis=-1)
 
 
-def _is_turning(p_sum, v_left, v_right):
-    """Generalized U-turn criterion, batched (reference ``nuts.py:335, 391``)."""
-    return (_rowdot(p_sum, v_left) <= 0) | (_rowdot(p_sum, v_right) <= 0)
-
-
 def _split_each(keys: jax.Array, num: int):
     """Split a (C,) key batch into ``num`` (C,) key batches."""
     out = jax.vmap(lambda k: jax.random.split(k, num))(keys)
@@ -130,53 +143,21 @@ def _logbern_b(keys: jax.Array, log_p: jax.Array) -> jax.Array:
     return jnp.log(u) < log_p
 
 
-def _leaf_node(state: IntegratorState, energy_change: jax.Array) -> TreeNode:
+def _leaf_node(state: PhaseState, energy_change: jax.Array) -> TreeNode:
     """Single-leapfrog subtree (reference ``_single_step``, ``nuts.py:359-368``)."""
     # log_p_accept_weighted = -ΔE + min(0, -ΔE): saturated Metropolis accept
     # probability with Boltzmann weight (``nuts.py:363``).
     lpaw = -energy_change + jnp.minimum(0.0, -energy_change)
-    proposal = Proposal(state.q, state.q_grad, state.energy, state.model_logp)
-    end = Boundary(state.p, state.v)
     return TreeNode(
-        left=end,
-        right=end,
+        left_p=state.p,
+        right_p=state.p,
         p_sum=state.p,
-        proposal=proposal,
+        q=state.q,
+        energy=state.energy,
+        logp=state.logp,
         log_size=-energy_change,
         log_weighted_accept_sum=lpaw,
     )
-
-
-def _merge_nodes(keys, t1: TreeNode, t2: TreeNode, check_extra) -> Tuple[TreeNode, jax.Array]:
-    """Merge two adjacent complete subtrees (integration order: t1 then t2).
-
-    Replays one internal node of the reference recursion
-    (``nuts.py:389-407``): full-span U-turn check, the two cross-subtree
-    checks when both children have depth ≥ 1 (``check_extra``), log-space
-    weight accumulation, and the multinomial proposal swap. Batched; the
-    returned ``turning`` is per-chain.
-    """
-    p_sum = t1.p_sum + t2.p_sum
-    turning = _is_turning(p_sum, t1.left.v, t2.right.v)
-    p_sum1 = t1.p_sum + t2.left.p
-    turning1 = _is_turning(p_sum1, t1.left.v, t2.left.v)
-    p_sum2 = t1.right.p + t2.p_sum
-    turning2 = _is_turning(p_sum2, t1.right.v, t2.right.v)
-    turning = turning | (check_extra & (turning1 | turning2))
-
-    log_size = jnp.logaddexp(t1.log_size, t2.log_size)
-    lwas = jnp.logaddexp(t1.log_weighted_accept_sum, t2.log_weighted_accept_sum)
-    take2 = _logbern_b(keys, t2.log_size - log_size)
-    proposal = _mwhere(take2, t2.proposal, t1.proposal)
-    node = TreeNode(
-        left=t1.left,
-        right=t2.right,
-        p_sum=p_sum,
-        proposal=proposal,
-        log_size=log_size,
-        log_weighted_accept_sum=lwas,
-    )
-    return node, turning
 
 
 def _make_batched_potential_ops(potential):
@@ -188,8 +169,8 @@ def _make_batched_potential_ops(potential):
     )
 
 
-def _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, state: IntegratorState,
-                scheme: str = "leapfrog"):
+def _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, state: PhaseState,
+                scheme: str = "leapfrog") -> PhaseState:
     """Batched symplectic step (reference ``integration.py:100-121`` for
     the default scheme; higher-order palindromic splittings otherwise)."""
     from .integration import INTEGRATOR_COEFFS
@@ -197,7 +178,7 @@ def _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, state: IntegratorSt
     b, a = INTEGRATOR_COEFFS[scheme]
     eps = epsilon[:, None]
     p = state.p + (b[0] * eps) * state.q_grad
-    q, logp, grad = state.q, state.model_logp, state.q_grad
+    q, logp, grad = state.q, state.logp, state.q_grad
     for i, ai in enumerate(a):
         v = velocity_b(p)
         q = (q + (ai * eps) * v).astype(state.q.dtype)
@@ -205,14 +186,58 @@ def _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, state: IntegratorSt
         p = p + (b[i + 1] * eps) * grad
     v = velocity_b(p)
     kin = kinetic_b(p, v)
-    return IntegratorState(q, p, v, grad, kin - logp, logp)
+    return PhaseState(q, p, grad, kin - logp, logp)
+
+
+def _merge_nodes(keys, t1: TreeNode, t2: TreeNode, check_extra,
+                 velocity_b) -> Tuple[TreeNode, jax.Array]:
+    """Merge two adjacent complete subtrees (integration order: t1 then t2).
+
+    Replays one internal node of the reference recursion
+    (``nuts.py:389-407``): full-span U-turn check, the two cross-subtree
+    checks when both children have depth ≥ 1 (``check_extra``), log-space
+    weight accumulation, and the multinomial proposal swap. Batched; the
+    returned ``turning`` is per-chain. Boundary velocities are recomputed
+    from the stored momenta (free for diagonal metrics — they fuse into
+    the dot products).
+    """
+    v_1l = velocity_b(t1.left_p)
+    v_1r = velocity_b(t1.right_p)
+    v_2l = velocity_b(t2.left_p)
+    v_2r = velocity_b(t2.right_p)
+
+    p_sum = t1.p_sum + t2.p_sum
+    turning = (_rowdot(p_sum, v_1l) <= 0) | (_rowdot(p_sum, v_2r) <= 0)
+    p_sum1 = t1.p_sum + t2.left_p
+    turning1 = (_rowdot(p_sum1, v_1l) <= 0) | (_rowdot(p_sum1, v_2l) <= 0)
+    p_sum2 = t1.right_p + t2.p_sum
+    turning2 = (_rowdot(p_sum2, v_1r) <= 0) | (_rowdot(p_sum2, v_2r) <= 0)
+    turning = turning | (check_extra & (turning1 | turning2))
+
+    log_size = jnp.logaddexp(t1.log_size, t2.log_size)
+    lwas = jnp.logaddexp(
+        t1.log_weighted_accept_sum, t2.log_weighted_accept_sum
+    )
+    take2 = _logbern_b(keys, t2.log_size - log_size)
+    t2m = take2[:, None]
+    node = TreeNode(
+        left_p=t1.left_p,
+        right_p=t2.right_p,
+        p_sum=p_sum,
+        q=jnp.where(t2m, t2.q, t1.q),
+        energy=jnp.where(take2, t2.energy, t1.energy),
+        logp=jnp.where(take2, t2.logp, t1.logp),
+        log_size=log_size,
+        log_weighted_accept_sum=lwas,
+    )
+    return node, turning
 
 
 class _BuildCarry(NamedTuple):
     keys: jax.Array  # (C,)
     leaf_idx: jax.Array  # scalar
     height: jax.Array  # scalar
-    cur: IntegratorState  # batched; frozen for non-building chains
+    cur: PhaseState  # batched; frozen for non-building chains
     node: TreeNode  # batched working node
     stack: TreeNode  # leading stack dim (max_treedepth,), then batch
     building: jax.Array  # (C,) still building this subtree
@@ -224,7 +249,7 @@ class _BuildCarry(NamedTuple):
 
 class _SubtreeResult(NamedTuple):
     node: TreeNode
-    end_state: IntegratorState
+    end_state: PhaseState
     stack: TreeNode  # scratch, returned so the caller can thread it
     n_leaves: jax.Array
     max_energy_change: jax.Array
@@ -234,7 +259,7 @@ class _SubtreeResult(NamedTuple):
 
 def _build_subtree(
     keys,
-    edge: IntegratorState,
+    edge: PhaseState,
     depth,
     epsilon,
     active,
@@ -311,7 +336,9 @@ def _build_subtree(
             keys_, j, node_, h, merging_ = mc
             keys_next, k_merge = _split_each(keys_, 2)
             t1 = peek(c.stack, h - 1)
-            merged, turning_new = _merge_nodes(k_merge, t1, node_, check_extra=j >= 1)
+            merged, turning_new = _merge_nodes(
+                k_merge, t1, node_, check_extra=j >= 1, velocity_b=velocity_b
+            )
             node_ = _mwhere(merging_, merged, node_)
             keys_ = _mwhere(merging_, keys_next, keys_)
             merging_ = merging_ & ~turning_new
@@ -376,10 +403,12 @@ def _build_subtree(
 class _TreeCarry(NamedTuple):
     keys: jax.Array
     stack: TreeNode  # scratch for subtree builds, allocated once
-    left: IntegratorState
-    right: IntegratorState
+    left: PhaseState
+    right: PhaseState
     p_sum: jax.Array
-    proposal: Proposal
+    prop_q: jax.Array
+    prop_energy: jax.Array
+    prop_logp: jax.Array
     log_size: jax.Array
     log_weighted_accept_sum: jax.Array
     depth: jax.Array  # scalar schedule depth
@@ -391,7 +420,9 @@ class _TreeCarry(NamedTuple):
 
 
 class TreeResult(NamedTuple):
-    proposal: Proposal
+    prop_q: jax.Array
+    prop_energy: jax.Array
+    prop_logp: jax.Array
     depth: jax.Array
     n_proposals: jax.Array
     mean_tree_accept: jax.Array
@@ -403,7 +434,7 @@ class TreeResult(NamedTuple):
 
 def run_nuts_tree(
     keys,
-    start: IntegratorState,
+    start: PhaseState,
     step_size,
     max_depth_c,
     potential,
@@ -419,7 +450,6 @@ def run_nuts_tree(
     velocity_b, kinetic_b = _make_batched_potential_ops(potential)
     C = start.q.shape[0]
     dtype = start.energy.dtype
-    init_proposal = Proposal(start.q, start.q_grad, start.energy, start.model_logp)
     max_depth_sched = jnp.max(max_depth_c)
 
     def cond(c: _TreeCarry):
@@ -444,8 +474,11 @@ def run_nuts_tree(
         node = sub.node
 
         # Multinomial swap against the *old* tree weight (``nuts.py:321-323``).
-        take_new = _logbern_b(k_swap, node.log_size - c.log_size)
-        proposal = _mwhere(ok & take_new, node.proposal, c.proposal)
+        take_new = ok & _logbern_b(k_swap, node.log_size - c.log_size)
+        tm = take_new[:, None]
+        prop_q = jnp.where(tm, node.q, c.prop_q)
+        prop_energy = jnp.where(take_new, node.energy, c.prop_energy)
+        prop_logp = jnp.where(take_new, node.logp, c.prop_logp)
         log_size = jnp.where(ok, jnp.logaddexp(c.log_size, node.log_size), c.log_size)
         lwas = jnp.where(
             ok,
@@ -459,17 +492,23 @@ def run_nuts_tree(
         new_left = _mwhere(ok & ~go_right, sub.end_state, c.left)
         new_right = _mwhere(ok & go_right, sub.end_state, c.right)
 
-        # 3-way generalized U-turn check on the merged span (``nuts.py:332-340``).
-        turning_full = _is_turning(p_sum, new_left.v, new_right.v)
+        # 3-way generalized U-turn check on the merged span
+        # (``nuts.py:332-340``); boundary velocities recomputed (momenta
+        # are selected first, so each check costs one velocity transform).
+        v_left = velocity_b(new_left.p)
+        v_right = velocity_b(new_right.p)
+        turning_full = (_rowdot(p_sum, v_left) <= 0) | (_rowdot(p_sum, v_right) <= 0)
         go = go_right[:, None]
-        p_sum1 = jnp.where(go, c.p_sum + node.left.p, node.p_sum + c.left.p)
-        v1a = jnp.where(go, c.left.v, node.right.v)
-        v1b = jnp.where(go, node.left.v, c.left.v)
-        turning1 = _is_turning(p_sum1, v1a, v1b)
-        p_sum2 = jnp.where(go, c.right.p + node.p_sum, node.left.p + c.p_sum)
-        v2a = jnp.where(go, c.right.v, node.left.v)
-        v2b = jnp.where(go, node.right.v, c.right.v)
-        turning2 = _is_turning(p_sum2, v2a, v2b)
+        p_sum1 = jnp.where(go, c.p_sum + node.left_p, node.p_sum + c.left.p)
+        p1a = jnp.where(go, c.left.p, node.right_p)
+        p1b = jnp.where(go, node.left_p, c.left.p)
+        v1a, v1b = velocity_b(p1a), velocity_b(p1b)
+        turning1 = (_rowdot(p_sum1, v1a) <= 0) | (_rowdot(p_sum1, v1b) <= 0)
+        p_sum2 = jnp.where(go, c.right.p + node.p_sum, node.left_p + c.p_sum)
+        p2a = jnp.where(go, c.right.p, node.left_p)
+        p2b = jnp.where(go, node.right_p, c.right.p)
+        v2a, v2b = velocity_b(p2a), velocity_b(p2b)
+        turning2 = (_rowdot(p_sum2, v2a) <= 0) | (_rowdot(p_sum2, v2b) <= 0)
         turning_new = turning_full | turning1 | turning2
 
         return _TreeCarry(
@@ -478,7 +517,9 @@ def run_nuts_tree(
             left=new_left,
             right=new_right,
             p_sum=p_sum,
-            proposal=proposal,
+            prop_q=prop_q,
+            prop_energy=prop_energy,
+            prop_logp=prop_logp,
             log_size=log_size,
             log_weighted_accept_sum=lwas,
             depth=c.depth + 1,
@@ -499,7 +540,9 @@ def run_nuts_tree(
         left=start,
         right=start,
         p_sum=start.p,
-        proposal=init_proposal,
+        prop_q=start.q,
+        prop_energy=start.energy,
+        prop_logp=start.logp,
         log_size=jnp.zeros((C,), dtype),
         log_weighted_accept_sum=jnp.full((C,), -jnp.inf, dtype),
         depth=jnp.asarray(0, jnp.int32),
@@ -522,7 +565,9 @@ def run_nuts_tree(
     )
     reached_max = (~out.diverging) & (~out.turning)
     return TreeResult(
-        proposal=out.proposal,
+        prop_q=out.prop_q,
+        prop_energy=out.prop_energy,
+        prop_logp=out.prop_logp,
         depth=out.depth_c,
         n_proposals=out.n_proposals,
         mean_tree_accept=mean_tree_accept,
@@ -566,9 +611,7 @@ def build_nuts_kernel(
         p0 = jax.vmap(lambda pot, k: pot.sample_momentum(k))(states.potential, k_mom)
         v0 = jax.vmap(lambda pot, p: pot.velocity(p))(states.potential, p0)
         kin = jax.vmap(lambda pot, p, v: pot.kinetic(p, v))(states.potential, p0, v0)
-        start = IntegratorState(
-            states.q, p0, v0, states.q_grad, kin - states.logp, states.logp
-        )
+        start = PhaseState(states.q, p0, states.q_grad, kin - states.logp, states.logp)
 
         adapting = jnp.logical_and(tuning, config.adapt_step_size)
         step_size = states.da.current(adapting)  # (C,)
@@ -587,6 +630,12 @@ def build_nuts_kernel(
             states.potential, logp_grad_b, config,
         )
 
+        # The proposal's gradient was not carried through the tree (see
+        # module docstring); recompute it once at the accepted position.
+        # (Deterministic model ⇒ identical to the value the reference
+        # caches in its State objects.)
+        prop_logp, prop_grad = logp_grad_b(tree.prop_q)
+
         # Adaptation updates (``base_hmc.py:161-162``).
         da = dual_average_update(
             states.da,
@@ -598,14 +647,14 @@ def build_nuts_kernel(
             t0=config.t0,
         )
         potential = jax.vmap(lambda pot, q, g: pot.update(q, g, tuning))(
-            states.potential, tree.proposal.q, tree.proposal.q_grad
+            states.potential, tree.prop_q, prop_grad
         )
 
         new_states = ChainState(
             rng_key=key_next,
-            q=tree.proposal.q,
-            q_grad=tree.proposal.q_grad,
-            logp=tree.proposal.logp,
+            q=tree.prop_q,
+            q_grad=prop_grad,
+            logp=prop_logp,
             potential=potential,
             da=da,
             iter_count=states.iter_count + 1,
@@ -619,10 +668,10 @@ def build_nuts_kernel(
             step_size_bar=jnp.exp(da.log_bar),
             tree_size=tree.n_proposals.astype(start.q.dtype),
             diverging=tree.diverging,
-            energy_error=tree.proposal.energy - start.energy,
-            energy=tree.proposal.energy,
+            energy_error=tree.prop_energy - start.energy,
+            energy=tree.prop_energy,
             max_energy_error=tree.max_energy_change,
-            model_logp=tree.proposal.logp,
+            model_logp=tree.prop_logp,
             reached_max_treedepth=jnp.logical_and(
                 tree.reached_max_treedepth, jnp.logical_not(tuning)
             ),
