@@ -54,7 +54,11 @@ def main():
 
     model = models.CorrelatedGaussian(NDIM)
     logp_grad = as_logp_grad(model.logp_grad)
-    step = lmc.NUTS(model_ndim=NDIM)
+    # Whole-trajectory Pallas fast path: the full NUTS tree build runs as
+    # one TPU kernel with the merge stack in VMEM and the model inlined
+    # (littlemcmc_tpu/ops/nuts_trajectory_pallas.py).
+    step = lmc.NUTS(model_ndim=NDIM,
+                    pallas_trajectory=model.pallas_trajectory_spec())
 
     key = jax.random.key(42)
     k_init, k_chains = jax.random.split(key)

@@ -26,12 +26,24 @@ class StandardNormal:
         # exact posterior moments, for tests/benchmarks
         self.true_mean = np.zeros(ndim)
         self.true_var = np.ones(ndim)
+        self._traj_spec = None
 
     def logp(self, q: jax.Array) -> jax.Array:
         return -0.5 * jnp.sum(q * q)
 
     def logp_grad(self, q: jax.Array):
         return -0.5 * jnp.sum(q * q), -q
+
+    def pallas_trajectory_spec(self):
+        """Inlineable model for the whole-trajectory Pallas NUTS kernel."""
+        if self._traj_spec is None:
+            from ..ops import PallasModelSpec
+
+            def fn(q):  # padding columns are zero, so the sums are exact
+                return -0.5 * jnp.sum(q * q, axis=1, keepdims=True), -q
+
+            self._traj_spec = PallasModelSpec(fn, (), self.ndim)
+        return self._traj_spec
 
 
 def _ar1_correlation(ndim: int, rho: float) -> np.ndarray:
@@ -62,6 +74,7 @@ class CorrelatedGaussian:
         self.true_mean = np.zeros(ndim)
         self.true_var = np.diag(self.cov).copy()
         self._prec_dev = jnp.asarray(self.prec, dtype)
+        self._traj_spec = None
 
     def logp(self, q: jax.Array) -> jax.Array:
         g = -jnp.dot(self._prec_dev, q, preferred_element_type=self._prec_dev.dtype)
@@ -87,3 +100,22 @@ class CorrelatedGaussian:
             return quadform_logp_grad(q, self._prec_dev)
         g = -jnp.dot(q, self._prec_dev, preferred_element_type=self._prec_dev.dtype)
         return 0.5 * jnp.sum(q * g, axis=-1), g
+
+    def pallas_trajectory_spec(self):
+        """Inlineable model for the whole-trajectory Pallas NUTS kernel."""
+        if self._traj_spec is None:
+            from ..ops import PallasModelSpec
+            from ..ops.nuts_trajectory_pallas import padded_dim
+
+            n = self.ndim
+            npad = padded_dim(n)
+            prec_pad = jnp.zeros((npad, npad), jnp.float32)
+            prec_pad = prec_pad.at[:n, :n].set(
+                jnp.asarray(self.prec, jnp.float32))
+
+            def fn(q, prec):
+                g = -jnp.dot(q, prec, preferred_element_type=jnp.float32)
+                return 0.5 * jnp.sum(q * g, axis=1, keepdims=True), g
+
+            self._traj_spec = PallasModelSpec(fn, (prec_pad,), n)
+        return self._traj_spec

@@ -578,11 +578,23 @@ def run_nuts_tree(
     )
 
 
+def _diag_inverse_mass(potential):
+    """Inverse-mass diagonal of a (batched) diagonal metric, or None."""
+    from .quadpotential import QuadPotentialDiag, QuadPotentialDiagAdapt
+
+    if isinstance(potential, QuadPotentialDiagAdapt):
+        return potential.var
+    if isinstance(potential, QuadPotentialDiag):
+        return potential.v
+    return None
+
+
 @functools.lru_cache(maxsize=512)
 def build_nuts_kernel(
     logp_grad_fn: LogpGradFn,
     config: NUTSConfig = NUTSConfig(),
     batched_logp_grad_fn: Optional[LogpGradFn] = None,
+    trajectory_spec=None,
 ):
     """Build the chain-batched NUTS transition ``kernel(states, tuning)``.
 
@@ -597,6 +609,13 @@ def build_nuts_kernel(
     with a natively-batched ``(C, n) -> ((C,), (C, n))`` implementation
     (e.g. a fused Pallas kernel); the default is ``vmap`` of the
     per-chain function.
+
+    ``trajectory_spec`` (a :class:`littlemcmc_tpu.ops.PallasModelSpec`)
+    switches the whole tree-building trajectory to the single-kernel
+    Pallas fast path (VMEM-resident merge stack, model inlined into the
+    kernel; requires a diagonal metric and float32). Statistically
+    identical to the XLA path; uses the on-core PRNG instead of
+    threefry, so draws differ bitwise.
     """
     logp_grad_b = (
         batched_logp_grad_fn
@@ -625,16 +644,60 @@ def build_nuts_kernel(
             early, config.early_max_treedepth, config.max_treedepth
         ).astype(jnp.int32)
 
-        tree = run_nuts_tree(
-            k_tree, start, step_size, max_depth_c,
-            states.potential, logp_grad_b, config,
-        )
+        if trajectory_spec is not None:
+            var_b = _diag_inverse_mass(states.potential)
+            if var_b is None:
+                raise ValueError(
+                    "the Pallas trajectory path requires a diagonal metric "
+                    "(QuadPotentialDiag / QuadPotentialDiagAdapt)"
+                )
+            from .ops.nuts_trajectory_pallas import build_trajectory_op
 
-        # The proposal's gradient was not carried through the tree (see
-        # module docstring); recompute it once at the accepted position.
-        # (Deterministic model ⇒ identical to the value the reference
-        # caches in its State objects.)
-        prop_logp, prop_grad = logp_grad_b(tree.prop_q)
+            traj_op = build_trajectory_op(
+                trajectory_spec,
+                start.q.shape[-1],
+                config.max_treedepth,
+                config.Emax,
+                config.integrator,
+            )
+            seed = jax.random.key_data(k_tree)[0, 0].astype(jnp.int32)
+            outs = traj_op(
+                start.q, start.p, start.q_grad, start.logp,
+                step_size, max_depth_c, var_b, seed,
+            )
+            dtype = start.q.dtype
+            log_size = outs["log_size"].astype(dtype)
+            lwas = outs["log_weighted_accept_sum"].astype(dtype)
+            mta = jnp.where(
+                log_size > 0,
+                jnp.exp(lwas - (log_size + log1mexp(log_size))),
+                0.0,
+            )
+            tree = TreeResult(
+                prop_q=outs["q"].astype(dtype),
+                prop_energy=outs["energy"].astype(dtype),
+                prop_logp=outs["logp"].astype(dtype),
+                depth=outs["depth"],
+                n_proposals=outs["n_leaves"],
+                mean_tree_accept=mta,
+                max_energy_change=outs["max_energy_change"].astype(dtype),
+                diverging=outs["diverging"],
+                turning=outs["turning"],
+                reached_max_treedepth=(~outs["diverging"]) & (~outs["turning"]),
+            )
+            prop_logp = tree.prop_logp
+            prop_grad = outs["grad"].astype(dtype)
+        else:
+            tree = run_nuts_tree(
+                k_tree, start, step_size, max_depth_c,
+                states.potential, logp_grad_b, config,
+            )
+
+            # The proposal's gradient was not carried through the tree (see
+            # module docstring); recompute it once at the accepted position.
+            # (Deterministic model ⇒ identical to the value the reference
+            # caches in its State objects.)
+            prop_logp, prop_grad = logp_grad_b(tree.prop_q)
 
         # Adaptation updates (``base_hmc.py:161-162``).
         da = dual_average_update(

@@ -119,12 +119,17 @@ class NUTS(_StepSpec):
         early_max_treedepth: int = 8,
         integrator: str = "leapfrog",
         batched_logp_dlogp_func=None,
+        pallas_trajectory=None,
     ):
         super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
         del path_length  # accepted for constructor parity; NUTS does not use it
         # Optional natively-batched (C, n) -> ((C,), (C, n)) model, e.g. a
         # fused Pallas kernel; overrides vmap of the per-chain model.
         self.batched_logp_dlogp_func = batched_logp_dlogp_func
+        # Optional littlemcmc_tpu.ops.PallasModelSpec: runs the whole
+        # tree-building trajectory as one Pallas TPU kernel (VMEM-resident
+        # stack, inlined model). Diagonal metrics only.
+        self.pallas_trajectory = pallas_trajectory
         self.config = NUTSConfig(
             target_accept=float(target_accept),
             Emax=float(Emax),
@@ -141,7 +146,8 @@ class NUTS(_StepSpec):
 
     def build_kernel(self, logp_grad_fn: LogpGradFn):
         return build_nuts_kernel(
-            logp_grad_fn, self.config, self.batched_logp_dlogp_func
+            logp_grad_fn, self.config, self.batched_logp_dlogp_func,
+            self.pallas_trajectory,
         )
 
 
