@@ -54,3 +54,48 @@ class EightSchools:
         dlog_tau = -log_tau / 25.0 + tau * jnp.sum(resid * tt)
         dtt = -tt + tau * resid
         return lp, jnp.concatenate([dmu[None], dlog_tau[None], dtt])
+
+    def pallas_trajectory_spec(self):
+        """Inlineable model for the whole-trajectory Pallas NUTS kernel.
+
+        ``y`` and ``1/sigma^2`` ride as zero-padded row constants aligned
+        with the theta-tilde columns (2..9); zeros outside those columns
+        mask the likelihood terms off the non-theta lanes.
+        """
+        if getattr(self, "_traj_spec", None) is None:
+            from jax import lax
+            from ..ops import PallasModelSpec
+            from ..ops.nuts_trajectory_pallas import padded_dim
+
+            npad = padded_dim(self.ndim)
+            y_row = np.zeros((1, npad), np.float32)
+            y_row[0, 2:10] = _Y
+            is2_row = np.zeros((1, npad), np.float32)
+            is2_row[0, 2:10] = 1.0 / _SIGMA ** 2
+
+            def fn(q, y_c, is2_c):
+                mu = q[:, 0:1]
+                log_tau = q[:, 1:2]
+                tau = jnp.exp(log_tau)
+                col = lax.broadcasted_iota(jnp.int32, q.shape, 1)
+                tt = jnp.where((col >= 2) & (col < 10), q, 0.0)
+                theta = mu + tau * tt
+                dy = y_c - theta
+                resid = dy * is2_c  # zero outside the theta columns
+                lp = (
+                    -0.5 * (mu / 5.0) ** 2
+                    - 0.5 * (log_tau / 5.0) ** 2
+                    - 0.5 * jnp.sum(tt * tt, axis=1, keepdims=True)
+                    - 0.5 * jnp.sum(dy * resid, axis=1, keepdims=True)
+                )
+                dmu = -mu / 25.0 + jnp.sum(resid, axis=1, keepdims=True)
+                dlog_tau = -log_tau / 25.0 + tau * jnp.sum(
+                    resid * tt, axis=1, keepdims=True)
+                dtt = -tt + tau * resid
+                grad = jnp.where(col == 0, dmu,
+                                 jnp.where(col == 1, dlog_tau, dtt))
+                return lp, grad
+
+            self._traj_spec = PallasModelSpec(
+                fn, (jnp.asarray(y_row), jnp.asarray(is2_row)), self.ndim)
+        return self._traj_spec

@@ -46,3 +46,26 @@ class NealsFunnel:
         dv = -v / self.scale ** 2 - 0.5 * n_x + 0.5 * sq * e
         dx = -x * e
         return logp, jnp.concatenate([dv[None], dx])
+
+    def pallas_trajectory_spec(self):
+        """Inlineable model for the whole-trajectory Pallas NUTS kernel."""
+        if getattr(self, "_traj_spec", None) is None:
+            from jax import lax
+            from ..ops import PallasModelSpec
+
+            n_x = float(self.ndim - 1)
+            inv_s2 = 1.0 / self.scale ** 2
+
+            def fn(q):
+                v = q[:, 0:1]
+                e = jnp.exp(-v)
+                # padding columns of q are zero, so the sum is exact
+                sq = jnp.sum(q * q, axis=1, keepdims=True) - v * v
+                logp = -0.5 * inv_s2 * v * v - 0.5 * n_x * v - 0.5 * sq * e
+                dv = -inv_s2 * v - 0.5 * n_x + 0.5 * sq * e
+                col = lax.broadcasted_iota(jnp.int32, q.shape, 1)
+                grad = jnp.where(col == 0, dv, -q * e)
+                return logp, grad
+
+            self._traj_spec = PallasModelSpec(fn, (), self.ndim)
+        return self._traj_spec

@@ -83,3 +83,50 @@ class LogisticRegression:
         if self._batched_pallas is not None:
             return self._batched_pallas(q)
         return jax.vmap(self.logp_grad)(q)
+
+    def pallas_trajectory_spec(self):
+        """Inlineable model for the whole-trajectory Pallas NUTS kernel.
+
+        The design matrix rides in VMEM (zero-padded to MXU tiles, both
+        orientations so each evaluation is two plain matmuls); padded
+        data rows are masked out of the likelihood with a row-mask
+        constant.
+        """
+        if getattr(self, "_traj_spec", None) is None:
+            from ..ops import PallasModelSpec
+            from ..ops.nuts_trajectory_pallas import padded_dim
+
+            n = self.ndim
+            npad = padded_dim(n)
+            Xb = np.asarray(self._Xb, np.float32)
+            rows, _ = Xb.shape
+            rpad = ((rows + 127) // 128) * 128
+            Xp = np.zeros((rpad, npad), np.float32)
+            Xp[:rows, :n] = Xb
+            Xt = np.ascontiguousarray(Xp.T)
+            yp = np.zeros((1, rpad), np.float32)
+            yp[0, :rows] = np.asarray(self._y, np.float32)
+            rmask = np.zeros((1, rpad), np.float32)
+            rmask[0, :rows] = 1.0
+            inv_ps2 = 1.0 / self.prior_scale ** 2
+
+            def fn(q, Xt_c, X_c, y_c, m_c):
+                logits = jnp.dot(q, Xt_c, preferred_element_type=jnp.float32)
+                mu = jax.nn.sigmoid(logits)
+                ll_terms = (y_c * logits - jax.nn.softplus(logits)) * m_c
+                loglik = jnp.sum(ll_terms, axis=1, keepdims=True)
+                logprior = -0.5 * inv_ps2 * jnp.sum(q * q, axis=1, keepdims=True)
+                grad = (
+                    jnp.dot((y_c - mu) * m_c, X_c,
+                            preferred_element_type=jnp.float32)
+                    - inv_ps2 * q
+                )
+                return loglik + logprior, grad
+
+            self._traj_spec = PallasModelSpec(
+                fn,
+                (jnp.asarray(Xt), jnp.asarray(Xp), jnp.asarray(yp),
+                 jnp.asarray(rmask)),
+                n,
+            )
+        return self._traj_spec

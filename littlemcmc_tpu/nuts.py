@@ -305,12 +305,15 @@ def _build_subtree(
         return (c.leaf_idx < n_total) & jnp.any(c.building)
 
     def body(c: _BuildCarry) -> _BuildCarry:
+        # NOTE: aborted (non-building) lanes are NOT frozen — they keep
+        # integrating garbage (possibly NaN) positions. Every downstream
+        # consumer of their values is masked (div_leaf/mec/n_leaves below
+        # by `building`, their stack lanes and final subtree node by the
+        # caller's `ok`), so masking the state itself would only add
+        # (C, n)-sized read traffic to the hot loop.
         new_state = _leapfrog_b(
             velocity_b, kinetic_b, logp_grad_b, epsilon, c.cur, config.integrator
         )
-        # Freeze chains that are done: keeps their state clean and avoids
-        # runaway NaN positions in frozen lanes.
-        new_state = _mwhere(c.building, new_state, c.cur)
 
         energy_change = new_state.energy - start_energy
         energy_change = jnp.where(jnp.isnan(energy_change), jnp.inf, energy_change)
@@ -319,8 +322,7 @@ def _build_subtree(
         div_leaf = c.building & ~(jnp.abs(energy_change) < emax)
         n_leaves = c.n_leaves + c.building.astype(jnp.int32)
 
-        leaf = _leaf_node(new_state, energy_change)
-        node = _mwhere(c.building, leaf, c.node)
+        node = _leaf_node(new_state, energy_change)
 
         # Merge once per trailing one-bit of leaf_idx — the internal nodes
         # the reference recursion completes after this leaf. The schedule
@@ -339,10 +341,12 @@ def _build_subtree(
             merged, turning_new = _merge_nodes(
                 k_merge, t1, node_, check_extra=j >= 1, velocity_b=velocity_b
             )
-            node_ = _mwhere(merging_, merged, node_)
-            keys_ = _mwhere(merging_, keys_next, keys_)
+            # Lanes that stopped merging (turned at an earlier merge this
+            # leaf, or aborted earlier) take the merged garbage and the
+            # advanced keys unmasked: neither is read again this subtree,
+            # and the tree-level key chain is separate.
             merging_ = merging_ & ~turning_new
-            return (keys_, j + 1, node_, h - 1, merging_)
+            return (keys_next, j + 1, merged, h - 1, merging_)
 
         merging0 = c.building & ~div_leaf
         keys1, _, node, height, merging_out = lax.while_loop(

@@ -19,24 +19,34 @@ sys.path.insert(0, REPO)
 
 
 def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=42,
-               target_accept=0.8):
+               target_accept=0.8, pallas=True):
     import jax
     import littlemcmc_tpu as lmc
     from littlemcmc_tpu.utils.diagnostics import ess_bulk, split_rhat
 
-    t_all = time.perf_counter()
-    trace, stats = lmc.sample(
+    extra = {}
+    # Whole-trajectory Pallas kernel: diagonal-metric configs only.
+    if pallas and "full" not in init and jax.default_backend() == "tpu":
+        extra["pallas_trajectory"] = model.pallas_trajectory_spec()
+
+    CHUNK = 50
+    common = dict(
         logp_dlogp_func=model.logp_grad,
         model_ndim=model.ndim,
-        tune=tune,
-        draws=draws,
         chains=chains,
         init=init,
         random_seed=seed,
         progressbar=False,
-        progress_every=50,  # chunked: required for long runs on remote TPU
+        progress_every=CHUNK,  # chunked: required for long runs on remote TPU
         target_accept=target_accept,
+        **extra,
     )
+    # Warm-up: compile the init fn and both chunk programs (same chunk
+    # size as the timed run, so the jit caches are hot). Untimed.
+    lmc.sample(tune=CHUNK, draws=CHUNK, **common)
+
+    t_all = time.perf_counter()
+    trace, stats = lmc.sample(tune=tune, draws=draws, **common)
     wall = time.perf_counter() - t_all
 
     ndim = model.ndim
@@ -49,7 +59,7 @@ def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=
         "chains": chains,
         "tune": tune,
         "draws": draws,
-        "wall_seconds_incl_compile": round(wall, 2),
+        "wall_seconds_warm": round(wall, 2),
         "transitions_per_sec": round(chains * (tune + draws) / wall, 1),
         "min_ess_bulk": round(float(np.nanmin(ess)), 1),
         "ess_per_sec_min_dim": round(float(np.nanmin(ess) / wall), 1),
