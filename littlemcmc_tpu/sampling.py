@@ -18,6 +18,7 @@ reference's sequential (``cores=1``) path.
 
 from __future__ import annotations
 
+import copy
 import functools
 import logging
 import time
@@ -584,6 +585,16 @@ def sample(
             raise ValueError(
                 f"chains ({chains}) must be divisible by mesh size ({mesh.size})"
             )
+        if mesh.size > 1 and getattr(step, "pallas_trajectory", None) is not None:
+            # GSPMD cannot auto-partition a pallas_call over the mesh; it
+            # would gather the chain batch onto one device. Until the
+            # trajectory op is shard_map-wrapped, fall back to the XLA tree.
+            _log.warning(
+                "pallas_trajectory is not yet mesh-partitioned; falling back "
+                "to the XLA trajectory for the sharded run."
+            )
+            step = copy.copy(step)
+            step.pallas_trajectory = None
         sharding = NamedSharding(mesh, P(chain_axis))
         states0 = jax.tree.map(lambda x: jax.device_put(x, sharding), states0)
 
