@@ -26,7 +26,11 @@ from .nuts import build_nuts_kernel, NUTSInfo
 from .hmc import build_hmc_kernel, HMCInfo
 from .model import as_logp_grad, from_logp_fn, from_numpy_callable, from_torch_callable
 from .report import SamplerWarning, WarningType, warnings_from_stats
-from .exceptions import SamplingError, IntegrationError
+from .exceptions import SamplingError, IntegrationError, ParallelSamplingError
+from . import models
+from . import ops
+from . import parallel
+from . import utils
 
 __all__ = [
     "__version__",
@@ -59,4 +63,9 @@ __all__ = [
     "warnings_from_stats",
     "SamplingError",
     "IntegrationError",
+    "ParallelSamplingError",
+    "models",
+    "ops",
+    "parallel",
+    "utils",
 ]

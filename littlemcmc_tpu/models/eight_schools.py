@@ -55,6 +55,10 @@ class EightSchools:
         dtt = -tt + tau * resid
         return lp, jnp.concatenate([dmu[None], dlog_tau[None], dtt])
 
+    def batched_logp_grad(self, q: jax.Array):
+        """Chain-batched ``(logp, grad)`` for ``q: (chains, n)``."""
+        return jax.vmap(self.logp_grad)(q)
+
     def pallas_trajectory_spec(self):
         """Inlineable model for the whole-trajectory Pallas NUTS kernel.
 

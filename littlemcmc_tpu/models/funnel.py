@@ -47,6 +47,10 @@ class NealsFunnel:
         dx = -x * e
         return logp, jnp.concatenate([dv[None], dx])
 
+    def batched_logp_grad(self, q: jax.Array):
+        """Chain-batched ``(logp, grad)`` for ``q: (chains, n)``."""
+        return jax.vmap(self.logp_grad)(q)
+
     def pallas_trajectory_spec(self):
         """Inlineable model for the whole-trajectory Pallas NUTS kernel."""
         if getattr(self, "_traj_spec", None) is None:

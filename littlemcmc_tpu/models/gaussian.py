@@ -34,6 +34,10 @@ class StandardNormal:
     def logp_grad(self, q: jax.Array):
         return -0.5 * jnp.sum(q * q), -q
 
+    def batched_logp_grad(self, q: jax.Array):
+        """Chain-batched ``(logp, grad)`` for ``q: (chains, n)``."""
+        return -0.5 * jnp.sum(q * q, axis=-1), -q
+
     def pallas_trajectory_spec(self):
         """Inlineable model for the whole-trajectory Pallas NUTS kernel."""
         if self._traj_spec is None:

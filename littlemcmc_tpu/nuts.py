@@ -83,13 +83,19 @@ class TreeNode(NamedTuple):
     """A completed subtree, boundaries in integration order; batched.
 
     ``left_p``/``right_p`` are the momenta at the subtree's two ends —
-    all the U-turn criterion needs besides ``p_sum`` (velocities are
-    recomputed). ``q``/``energy``/``logp`` are the subtree's multinomial
-    proposal (reference ``nuts.py:243-248``).
+    all the U-turn criterion needs besides ``p_sum``. For *diagonal*
+    metrics the boundary velocities ``left_v``/``right_v`` are ``None``
+    (recomputing ``v = var * p`` fuses into the U-turn dot products, so
+    storing them would only add stack traffic); for dense metrics they
+    are stored (recomputing would cost an (n, n) matvec per check).
+    ``q``/``energy``/``logp`` are the subtree's multinomial proposal
+    (reference ``nuts.py:243-248``).
     """
 
     left_p: jax.Array
     right_p: jax.Array
+    left_v: Optional[jax.Array]
+    right_v: Optional[jax.Array]
     p_sum: jax.Array
     q: jax.Array
     energy: jax.Array
@@ -143,14 +149,21 @@ def _logbern_b(keys: jax.Array, log_p: jax.Array) -> jax.Array:
     return jnp.log(u) < log_p
 
 
-def _leaf_node(state: PhaseState, energy_change: jax.Array) -> TreeNode:
-    """Single-leapfrog subtree (reference ``_single_step``, ``nuts.py:359-368``)."""
+def _leaf_node(state: PhaseState, energy_change: jax.Array,
+               v: Optional[jax.Array] = None) -> TreeNode:
+    """Single-leapfrog subtree (reference ``_single_step``, ``nuts.py:359-368``).
+
+    ``v`` is the leaf's velocity when the metric is dense (stored in the
+    node); ``None`` for diagonal metrics (recomputed at the checks).
+    """
     # log_p_accept_weighted = -ΔE + min(0, -ΔE): saturated Metropolis accept
     # probability with Boltzmann weight (``nuts.py:363``).
     lpaw = -energy_change + jnp.minimum(0.0, -energy_change)
     return TreeNode(
         left_p=state.p,
         right_p=state.p,
+        left_v=v,
+        right_v=v,
         p_sum=state.p,
         q=state.q,
         energy=state.energy,
@@ -170,9 +183,13 @@ def _make_batched_potential_ops(potential):
 
 
 def _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, state: PhaseState,
-                scheme: str = "leapfrog") -> PhaseState:
+                scheme: str = "leapfrog") -> Tuple[PhaseState, jax.Array]:
     """Batched symplectic step (reference ``integration.py:100-121`` for
-    the default scheme; higher-order palindromic splittings otherwise)."""
+    the default scheme; higher-order palindromic splittings otherwise).
+
+    Also returns the final velocity (already computed for the kinetic
+    energy) so dense-metric callers can store it without a second matvec.
+    """
     from .integration import INTEGRATOR_COEFFS
 
     b, a = INTEGRATOR_COEFFS[scheme]
@@ -186,7 +203,7 @@ def _leapfrog_b(velocity_b, kinetic_b, logp_grad_b, epsilon, state: PhaseState,
         p = p + (b[i + 1] * eps) * grad
     v = velocity_b(p)
     kin = kinetic_b(p, v)
-    return PhaseState(q, p, grad, kin - logp, logp)
+    return PhaseState(q, p, grad, kin - logp, logp), v
 
 
 def _merge_nodes(keys, t1: TreeNode, t2: TreeNode, check_extra,
@@ -197,14 +214,18 @@ def _merge_nodes(keys, t1: TreeNode, t2: TreeNode, check_extra,
     (``nuts.py:389-407``): full-span U-turn check, the two cross-subtree
     checks when both children have depth ≥ 1 (``check_extra``), log-space
     weight accumulation, and the multinomial proposal swap. Batched; the
-    returned ``turning`` is per-chain. Boundary velocities are recomputed
-    from the stored momenta (free for diagonal metrics — they fuse into
-    the dot products).
+    returned ``turning`` is per-chain. Boundary velocities come from the
+    nodes when stored (dense metrics) and are otherwise recomputed from
+    the momenta (diagonal metrics — the multiply fuses into the dots).
     """
-    v_1l = velocity_b(t1.left_p)
-    v_1r = velocity_b(t1.right_p)
-    v_2l = velocity_b(t2.left_p)
-    v_2r = velocity_b(t2.right_p)
+    if t1.left_v is not None:
+        v_1l, v_1r = t1.left_v, t1.right_v
+        v_2l, v_2r = t2.left_v, t2.right_v
+    else:
+        v_1l = velocity_b(t1.left_p)
+        v_1r = velocity_b(t1.right_p)
+        v_2l = velocity_b(t2.left_p)
+        v_2r = velocity_b(t2.right_p)
 
     p_sum = t1.p_sum + t2.p_sum
     turning = (_rowdot(p_sum, v_1l) <= 0) | (_rowdot(p_sum, v_2r) <= 0)
@@ -223,6 +244,8 @@ def _merge_nodes(keys, t1: TreeNode, t2: TreeNode, check_extra,
     node = TreeNode(
         left_p=t1.left_p,
         right_p=t2.right_p,
+        left_v=t1.left_v,
+        right_v=t2.right_v,
         p_sum=p_sum,
         q=jnp.where(t2m, t2.q, t1.q),
         energy=jnp.where(take2, t2.energy, t1.energy),
@@ -237,8 +260,7 @@ class _BuildCarry(NamedTuple):
     keys: jax.Array  # (C,)
     leaf_idx: jax.Array  # scalar
     height: jax.Array  # scalar
-    cur: PhaseState  # batched; frozen for non-building chains
-    node: TreeNode  # batched working node
+    cur: PhaseState  # batched; aborted lanes carry garbage (masked)
     stack: TreeNode  # leading stack dim (max_treedepth,), then batch
     building: jax.Array  # (C,) still building this subtree
     n_leaves: jax.Array  # (C,)
@@ -270,6 +292,7 @@ def _build_subtree(
     kinetic_b,
     logp_grad_b,
     config: NUTSConfig,
+    store_velocity: bool = False,
 ) -> _SubtreeResult:
     """Build a complete subtree of ``2^depth`` leapfrogs from ``edge``.
 
@@ -288,8 +311,6 @@ def _build_subtree(
     n_total = jnp.left_shift(jnp.asarray(1, jnp.int32), depth)
     emax = jnp.asarray(config.Emax, edge.q.dtype)
     C = edge.q.shape[0]
-
-    dummy_node = _leaf_node(edge, jnp.zeros((C,), edge.energy.dtype))
 
     def push(stack, node, h):
         return jax.tree.map(
@@ -311,7 +332,7 @@ def _build_subtree(
         # by `building`, their stack lanes and final subtree node by the
         # caller's `ok`), so masking the state itself would only add
         # (C, n)-sized read traffic to the hot loop.
-        new_state = _leapfrog_b(
+        new_state, v_new = _leapfrog_b(
             velocity_b, kinetic_b, logp_grad_b, epsilon, c.cur, config.integrator
         )
 
@@ -322,7 +343,8 @@ def _build_subtree(
         div_leaf = c.building & ~(jnp.abs(energy_change) < emax)
         n_leaves = c.n_leaves + c.building.astype(jnp.int32)
 
-        node = _leaf_node(new_state, energy_change)
+        node = _leaf_node(new_state, energy_change,
+                          v=v_new if store_velocity else None)
 
         # Merge once per trailing one-bit of leaf_idx — the internal nodes
         # the reference recursion completes after this leaf. The schedule
@@ -367,7 +389,6 @@ def _build_subtree(
             leaf_idx=c.leaf_idx + 1,
             height=height + 1,
             cur=new_state,
-            node=node,
             stack=stack,
             building=building,
             n_leaves=n_leaves,
@@ -381,7 +402,6 @@ def _build_subtree(
         leaf_idx=jnp.asarray(0, jnp.int32),
         height=jnp.asarray(0, jnp.int32),
         cur=edge,
-        node=dummy_node,
         stack=stack0,
         building=active,
         n_leaves=jnp.zeros((C,), jnp.int32),
@@ -409,6 +429,8 @@ class _TreeCarry(NamedTuple):
     stack: TreeNode  # scratch for subtree builds, allocated once
     left: PhaseState
     right: PhaseState
+    left_v: Optional[jax.Array]  # edge velocities; None for diag metrics
+    right_v: Optional[jax.Array]
     p_sum: jax.Array
     prop_q: jax.Array
     prop_energy: jax.Array
@@ -455,6 +477,10 @@ def run_nuts_tree(
     C = start.q.shape[0]
     dtype = start.energy.dtype
     max_depth_sched = jnp.max(max_depth_c)
+    # Diagonal metrics recompute boundary velocities at the checks (the
+    # elementwise multiply fuses into the dots); dense metrics store them
+    # (recomputing would cost an (n, n) matvec per check).
+    store_v = _diag_inverse_mass(potential) is None
 
     def cond(c: _TreeCarry):
         active = (~c.diverging) & (~c.turning) & (c.depth_c < max_depth_c)
@@ -473,6 +499,7 @@ def run_nuts_tree(
             k_sub, edge, c.depth, eps_signed, active,
             start.energy, c.max_energy_change, c.stack,
             velocity_b, kinetic_b, logp_grad_b, config,
+            store_velocity=store_v,
         )
         ok = active & ~sub.diverging & ~sub.turning
         node = sub.node
@@ -495,23 +522,37 @@ def run_nuts_tree(
         # last integrated full state) replaces the extended edge.
         new_left = _mwhere(ok & ~go_right, sub.end_state, c.left)
         new_right = _mwhere(ok & go_right, sub.end_state, c.right)
+        if store_v:
+            v_end = velocity_b(sub.end_state.p)  # once per doubling
+            okm = ok[:, None]
+            new_left_v = jnp.where(okm & ~go_right[:, None], v_end, c.left_v)
+            new_right_v = jnp.where(okm & go_right[:, None], v_end, c.right_v)
+        else:
+            new_left_v = new_right_v = None
 
         # 3-way generalized U-turn check on the merged span
-        # (``nuts.py:332-340``); boundary velocities recomputed (momenta
-        # are selected first, so each check costs one velocity transform).
-        v_left = velocity_b(new_left.p)
-        v_right = velocity_b(new_right.p)
-        turning_full = (_rowdot(p_sum, v_left) <= 0) | (_rowdot(p_sum, v_right) <= 0)
+        # (``nuts.py:332-340``). Boundary velocities: stored for dense
+        # metrics, recomputed after selecting the momenta otherwise.
         go = go_right[:, None]
+        if store_v:
+            v_left, v_right = new_left_v, new_right_v
+            v1a = jnp.where(go, c.left_v, node.right_v)
+            v1b = jnp.where(go, node.left_v, c.left_v)
+            v2a = jnp.where(go, c.right_v, node.left_v)
+            v2b = jnp.where(go, node.right_v, c.right_v)
+        else:
+            v_left = velocity_b(new_left.p)
+            v_right = velocity_b(new_right.p)
+            p1a = jnp.where(go, c.left.p, node.right_p)
+            p1b = jnp.where(go, node.left_p, c.left.p)
+            v1a, v1b = velocity_b(p1a), velocity_b(p1b)
+            p2a = jnp.where(go, c.right.p, node.left_p)
+            p2b = jnp.where(go, node.right_p, c.right.p)
+            v2a, v2b = velocity_b(p2a), velocity_b(p2b)
+        turning_full = (_rowdot(p_sum, v_left) <= 0) | (_rowdot(p_sum, v_right) <= 0)
         p_sum1 = jnp.where(go, c.p_sum + node.left_p, node.p_sum + c.left.p)
-        p1a = jnp.where(go, c.left.p, node.right_p)
-        p1b = jnp.where(go, node.left_p, c.left.p)
-        v1a, v1b = velocity_b(p1a), velocity_b(p1b)
         turning1 = (_rowdot(p_sum1, v1a) <= 0) | (_rowdot(p_sum1, v1b) <= 0)
         p_sum2 = jnp.where(go, c.right.p + node.p_sum, node.left_p + c.p_sum)
-        p2a = jnp.where(go, c.right.p, node.left_p)
-        p2b = jnp.where(go, node.right_p, c.right.p)
-        v2a, v2b = velocity_b(p2a), velocity_b(p2b)
         turning2 = (_rowdot(p_sum2, v2a) <= 0) | (_rowdot(p_sum2, v2b) <= 0)
         turning_new = turning_full | turning1 | turning2
 
@@ -520,6 +561,8 @@ def run_nuts_tree(
             stack=sub.stack,
             left=new_left,
             right=new_right,
+            left_v=new_left_v,
+            right_v=new_right_v,
             p_sum=p_sum,
             prop_q=prop_q,
             prop_energy=prop_energy,
@@ -534,7 +577,8 @@ def run_nuts_tree(
             turning=c.turning | (active & jnp.where(ok, turning_new, sub.turning)),
         )
 
-    zero_node = _leaf_node(start, jnp.zeros((C,), dtype))
+    v_start = velocity_b(start.p) if store_v else None
+    zero_node = _leaf_node(start, jnp.zeros((C,), dtype), v=v_start)
     stack0 = jax.tree.map(
         lambda x: jnp.zeros((config.max_treedepth,) + jnp.shape(x), x.dtype), zero_node
     )
@@ -543,6 +587,8 @@ def run_nuts_tree(
         stack=stack0,
         left=start,
         right=start,
+        left_v=v_start,
+        right_v=v_start,
         p_sum=start.p,
         prop_q=start.q,
         prop_energy=start.energy,
@@ -664,7 +710,9 @@ def build_nuts_kernel(
                 config.Emax,
                 config.integrator,
             )
-            seed = jax.random.key_data(k_tree)[0, 0].astype(jnp.int32)
+            # both 32-bit words of chain 0's fresh per-draw key: 64 bits
+            # of per-draw entropy for the kernel's on-core PRNG
+            seed = jax.random.key_data(k_tree)[0].astype(jnp.int32)
             outs = traj_op(
                 start.q, start.p, start.q_grad, start.logp,
                 step_size, max_depth_c, var_b, seed,

@@ -129,7 +129,11 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs):
         (l_q, l_p, l_g, r_q, r_p, r_g, c_q, c_p, c_g, pr_q, psum,
          sf, si, s_lp, s_rp, s_ps, s_q) = rest[n_consts + 3:]
 
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        # 64 bits of per-draw entropy (both threefry key words) plus the
+        # block id folded into the first word (prng_seed takes at most
+        # two values): 32 bits alone would birthday-collide within ~77k
+        # draws, replaying identical direction/swap streams.
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919, seed_ref[1])
         consts = tuple(r[:] for r in consts_refs)
         col = lax.broadcasted_iota(jnp.int32, (CB, Npad), 1)
         qmask = col < n
@@ -439,8 +443,18 @@ def build_trajectory_op(
             CB //= 2
         if CB < 8:
             raise ValueError(
-                f"chains={C} not divisible by a usable chain block; "
-                f"use a multiple of 8 chains for the Pallas trajectory path"
+                f"chains={C} has no usable chain-block divisor >= 8; choose "
+                f"a chain count divisible by a power of two >= 8 (ideally a "
+                f"multiple of {chain_block}) for the Pallas trajectory path"
+            )
+        if CB < min(chain_block, C):
+            import logging
+
+            logging.getLogger("littlemcmc_tpu").warning(
+                "Pallas trajectory: chains=%d is not divisible by "
+                "chain_block=%d; running %d sequential blocks of %d chains "
+                "(choose a multiple of %d chains for peak throughput).",
+                C, chain_block, C // CB, CB, chain_block,
             )
 
         f32 = jnp.float32
@@ -453,7 +467,10 @@ def build_trajectory_op(
         sin = sin.at[:, _IN_LOGP].set(logp.astype(f32))
         sin = sin.at[:, _IN_EPS].set(eps.astype(f32))
         sin = sin.at[:, _IN_MAXDEPTH].set(max_depth_c.astype(f32))
-        seed1 = jnp.asarray(seed, jnp.int32).reshape(1)
+        seed1 = jnp.asarray(seed, jnp.int32).reshape(-1)
+        if seed1.shape[0] < 2:  # accept scalar seeds; duplicate the word
+            seed1 = jnp.concatenate([seed1, seed1])
+        seed1 = seed1[:2]
 
         grid = (C // CB,)
         row_spec = pl.BlockSpec((CB, Npad), lambda i: (i, 0),
