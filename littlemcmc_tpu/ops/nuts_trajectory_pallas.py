@@ -230,14 +230,17 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs):
                     pn = pn + (b_coef[i + 1] * epss) * gn
                 en = 0.5 * jnp.sum(pn * (V * pn), axis=1, keepdims=True) - lpn
 
-                # freeze non-building lanes
-                c_q[:] = jnp.where(bld, qn, c_q[:])
-                c_p[:] = jnp.where(bld, pn, c_p[:])
-                c_g[:] = jnp.where(bld, gn, c_g[:])
-                set_sf(_S_CE, jnp.where(bld, en, sfc(_S_CE)))
-                set_sf(_S_CLP, jnp.where(bld, lpn, sfc(_S_CLP)))
+                # Aborted lanes are NOT frozen: they keep integrating
+                # garbage, but every consumer of their values is masked
+                # (by `bld` below, by `ok` at the tree level), and the
+                # freeze's read-modify-write costs more than it saves.
+                c_q[:] = qn
+                c_p[:] = pn
+                c_g[:] = gn
+                set_sf(_S_CE, en)
+                set_sf(_S_CLP, lpn)
 
-                dE = sfc(_S_CE) - E0
+                dE = en - E0
                 dE = jnp.where(jnp.isnan(dE), jnp.inf, dE)
                 upd = bld & (jnp.abs(dE) > jnp.abs(soc(_O_MEC)))
                 set_so(_O_MEC, jnp.where(upd, dE, soc(_O_MEC)))
