@@ -9,7 +9,7 @@ directly to ``sample(logp_dlogp_func=...)``.
 """
 
 from .gaussian import StandardNormal, CorrelatedGaussian
-from .funnel import NealsFunnel
+from .funnel import NealsFunnel, NonCenteredFunnel
 from .logistic import LogisticRegression, german_credit_synthetic
 from .eight_schools import EightSchools
 from .linear import LinearRegression
@@ -18,6 +18,7 @@ __all__ = [
     "StandardNormal",
     "CorrelatedGaussian",
     "NealsFunnel",
+    "NonCenteredFunnel",
     "LogisticRegression",
     "german_credit_synthetic",
     "EightSchools",

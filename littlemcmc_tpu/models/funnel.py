@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["NealsFunnel"]
+__all__ = ["NealsFunnel", "NonCenteredFunnel"]
 
 
 class NealsFunnel:
@@ -70,6 +70,57 @@ class NealsFunnel:
                 col = lax.broadcasted_iota(jnp.int32, q.shape, 1)
                 grad = jnp.where(col == 0, dv, -q * e)
                 return logp, grad
+
+            self._traj_spec = PallasModelSpec(fn, (), self.ndim)
+        return self._traj_spec
+
+
+class NonCenteredFunnel:
+    """Neal's funnel, non-centered: ``q = [v_tilde, x_tilde...]``.
+
+    ``v = scale * v_tilde`` and ``x = exp(v/2) * x_tilde``, so the
+    *sampled* density is iid standard normal (trivial geometry, no
+    divergences) and the funnel shape is recovered deterministically by
+    :meth:`transform`. This is the reparameterization the centered
+    :class:`NealsFunnel` docs recommend when divergences appear — kept in
+    the zoo so the two parameterizations can be compared on the same
+    figure-of-merit.
+    """
+
+    def __init__(self, ndim: int = 10, scale: float = 3.0, dtype=jnp.float32):
+        assert ndim >= 2
+        self.ndim = int(ndim)
+        self.scale = float(scale)
+        self.dtype = dtype
+        self.true_mean = np.zeros(ndim)  # in the sampled (tilde) space
+        self.true_var = np.ones(ndim)
+
+    def logp(self, q: jax.Array) -> jax.Array:
+        return -0.5 * jnp.sum(q * q)
+
+    def logp_grad(self, q: jax.Array):
+        return -0.5 * jnp.sum(q * q), -q
+
+    def batched_logp_grad(self, q: jax.Array):
+        """Chain-batched ``(logp, grad)`` for ``q: (chains, n)``."""
+        return -0.5 * jnp.sum(q * q, axis=-1), -q
+
+    def transform(self, q):
+        """Map sampled tilde-space draws to the funnel's (v, x) space.
+
+        Accepts any leading batch shape; last axis is the parameter axis.
+        """
+        v = self.scale * q[..., :1]
+        x = jnp.exp(v / 2.0) * q[..., 1:]
+        return jnp.concatenate([v, x], axis=-1)
+
+    def pallas_trajectory_spec(self):
+        """Inlineable model for the whole-trajectory Pallas NUTS kernel."""
+        if getattr(self, "_traj_spec", None) is None:
+            from ..ops import PallasModelSpec
+
+            def fn(q):
+                return -0.5 * jnp.sum(q * q, axis=1, keepdims=True), -q
 
             self._traj_spec = PallasModelSpec(fn, (), self.ndim)
         return self._traj_spec

@@ -100,3 +100,27 @@ def test_logistic_regression_recovers_signal():
     acc = ((Xb @ beta > 0) == (y > 0.5)).mean()
     assert acc > 0.65
     assert stats["diverging"].mean() < 0.05
+
+
+def test_non_centered_funnel_transform_and_sampling():
+    """Non-centered funnel: trivial sampled geometry, funnel via transform."""
+    import numpy as np
+    import jax.numpy as jnp
+    import littlemcmc_tpu as lmc
+    from littlemcmc_tpu.models import NonCenteredFunnel
+
+    model = NonCenteredFunnel(5, scale=3.0)
+    trace, stats = lmc.sample(
+        logp_dlogp_func=model.logp_grad, model_ndim=5, draws=400, tune=300,
+        chains=8, random_seed=0, progressbar=False,
+    )
+    # sampled (tilde) space is iid standard normal
+    tr = np.asarray(trace)
+    assert np.abs(tr.mean(axis=(0, 1))).max() < 0.2
+    assert np.abs(tr.std(axis=(0, 1)) - 1.0).max() < 0.2
+    assert np.asarray(stats["diverging"]).mean() < 0.005
+    # transformed draws reproduce the funnel's heavy-tailed x marginals
+    fx = np.asarray(model.transform(jnp.asarray(tr)))
+    v = fx[..., 0]
+    assert abs(v.std() - 3.0) < 0.5
+    assert fx[..., 1:].std() > 2.0  # much wider than the tilde space
