@@ -645,6 +645,8 @@ def build_nuts_kernel(
     config: NUTSConfig = NUTSConfig(),
     batched_logp_grad_fn: Optional[LogpGradFn] = None,
     trajectory_spec=None,
+    mesh=None,
+    chain_axis: str = "chains",
 ):
     """Build the chain-batched NUTS transition ``kernel(states, tuning)``.
 
@@ -666,6 +668,13 @@ def build_nuts_kernel(
     kernel; requires a diagonal metric and float32). Statistically
     identical to the XLA path; uses the on-core PRNG instead of
     threefry, so draws differ bitwise.
+
+    ``mesh``/``chain_axis``: when the chain batch is sharded over a
+    multi-device mesh, GSPMD cannot auto-partition the pallas_call, so
+    the trajectory op is wrapped in ``shard_map`` over the chain axis —
+    each device builds trees for its own chain shard (chains never
+    interact inside a trajectory) with a per-device-decorrelated PRNG
+    seed.
     """
     logp_grad_b = (
         batched_logp_grad_fn
@@ -713,7 +722,34 @@ def build_nuts_kernel(
             # both 32-bit words of chain 0's fresh per-draw key: 64 bits
             # of per-draw entropy for the kernel's on-core PRNG
             seed = jax.random.key_data(k_tree)[0].astype(jnp.int32)
-            outs = traj_op(
+            if mesh is not None:
+                # GSPMD cannot partition the pallas_call; shard_map it so
+                # each device runs the kernel on its own chain shard.
+                from jax import shard_map
+                from jax.sharding import PartitionSpec
+
+                Pc = PartitionSpec(chain_axis)
+                Pr = PartitionSpec()
+
+                def traj_local(q, p, g, lp, eps, mdc, var, sd):
+                    # decorrelate the per-device PRNG streams
+                    dev = jax.lax.axis_index(chain_axis).astype(jnp.int32)
+                    sd = sd + jnp.stack([dev * jnp.int32(1000003),
+                                         jnp.int32(0)])
+                    return traj_op(q, p, g, lp, eps, mdc, var, sd)
+
+                traj_call = shard_map(
+                    traj_local, mesh=mesh,
+                    in_specs=(Pc, Pc, Pc, Pc, Pc, Pc, Pc, Pr),
+                    out_specs=Pc,
+                    # pallas_call outputs carry no varying-mesh-axis
+                    # metadata; every output is chain-sharded by
+                    # construction (out_specs above)
+                    check_vma=False,
+                )
+            else:
+                traj_call = traj_op
+            outs = traj_call(
                 start.q, start.p, start.q_grad, start.logp,
                 step_size, max_depth_c, var_b, seed,
             )

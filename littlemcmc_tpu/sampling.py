@@ -18,7 +18,6 @@ reference's sequential (``cores=1``) path.
 
 from __future__ import annotations
 
-import copy
 import functools
 import logging
 import time
@@ -145,10 +144,11 @@ class NUTS(_StepSpec):
             integrator=str(integrator),
         )
 
-    def build_kernel(self, logp_grad_fn: LogpGradFn):
+    def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
+                     chain_axis: str = "chains"):
         return build_nuts_kernel(
             logp_grad_fn, self.config, self.batched_logp_dlogp_func,
-            self.pallas_trajectory,
+            self.pallas_trajectory, mesh, chain_axis,
         )
 
 
@@ -207,7 +207,9 @@ class HamiltonianMC(_StepSpec):
             integrator=str(integrator),
         )
 
-    def build_kernel(self, logp_grad_fn: LogpGradFn):
+    def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
+                     chain_axis: str = "chains"):
+        del mesh, chain_axis  # HMC has no pallas_call to partition
         return build_hmc_kernel(logp_grad_fn, self.config)
 
 
@@ -585,16 +587,6 @@ def sample(
             raise ValueError(
                 f"chains ({chains}) must be divisible by mesh size ({mesh.size})"
             )
-        if mesh.size > 1 and getattr(step, "pallas_trajectory", None) is not None:
-            # GSPMD cannot auto-partition a pallas_call over the mesh; it
-            # would gather the chain batch onto one device. Until the
-            # trajectory op is shard_map-wrapped, fall back to the XLA tree.
-            _log.warning(
-                "pallas_trajectory is not yet mesh-partitioned; falling back "
-                "to the XLA trajectory for the sharded run."
-            )
-            step = copy.copy(step)
-            step.pallas_trajectory = None
         sharding = NamedSharding(mesh, P(chain_axis))
         states0 = jax.tree.map(lambda x: jax.device_put(x, sharding), states0)
 
@@ -608,7 +600,9 @@ def sample(
         )
 
     # --- The compiled sampling program -----------------------------------
-    kernel = step.build_kernel(logp_grad)
+    # The pallas trajectory op (if any) must be shard_map-wrapped over a
+    # multi-device mesh: GSPMD cannot auto-partition a pallas_call.
+    kernel = step.build_kernel(logp_grad, mesh=mesh, chain_axis=chain_axis)
     collect_tune = not discard_tuned_samples
 
     if progressbar:
