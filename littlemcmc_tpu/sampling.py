@@ -553,6 +553,28 @@ def sample(
     jitter = init_l.startswith("jitter")
     full = init_l.endswith("adapt_full")
     if step is None:
+        # Fast-by-default: when the model is a model-zoo object (its bound
+        # logp_grad carries a pallas_trajectory_spec), the run is on TPU
+        # with a diagonal metric and float32, select the whole-trajectory
+        # Pallas kernel automatically. `pallas_trajectory=None` in kwargs
+        # explicitly forces the XLA tree.
+        if (
+            "pallas_trajectory" not in kwargs
+            and not full
+            and "scaling" not in kwargs  # could be a dense metric
+            and "potential" not in kwargs
+            and jnp.dtype(dtype) == jnp.float32
+            and jax.default_backend() == "tpu"
+        ):
+            owner = getattr(logp_dlogp_func, "__self__", None)
+            spec_fn = getattr(owner, "pallas_trajectory_spec", None)
+            if spec_fn is not None:
+                kwargs["pallas_trajectory"] = spec_fn()
+                _log.info(
+                    "Using the whole-trajectory Pallas kernel for %s "
+                    "(pass pallas_trajectory=None to disable).",
+                    type(owner).__name__,
+                )
         step = NUTS(model_ndim=model_ndim, **kwargs)
 
     # --- Per-chain starting points --------------------------------------
