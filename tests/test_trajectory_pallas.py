@@ -98,3 +98,21 @@ def test_pallas_path_posterior_parity():
     assert np.asarray(stats["diverging"]).mean() < 0.01
     mta = np.asarray(stats["mean_tree_accept"])
     assert 0.6 < mta[:, -200:].mean() < 0.95
+
+
+@requires_tpu
+def test_pallas_path_composes_with_mesh():
+    """The trajectory op is shard_map-wrapped over the chain mesh."""
+    from jax.sharding import Mesh
+
+    C, N = 128, 16
+    model = models.CorrelatedGaussian(N)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("chains",))
+    step = lmc.NUTS(model_ndim=N,
+                    pallas_trajectory=model.pallas_trajectory_spec())
+    trace, stats = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=N,
+                              draws=200, tune=200, chains=C, random_seed=3,
+                              step=step, mesh=mesh, progressbar=False)
+    tr = np.asarray(trace)
+    assert np.abs(tr.mean(axis=(0, 1))).max() < 0.3
+    assert 0.6 < np.asarray(stats["mean_tree_accept"])[:, -100:].mean() < 0.95
