@@ -81,12 +81,14 @@ class CorrelatedGaussian:
         self._traj_spec = None
 
     def logp(self, q: jax.Array) -> jax.Array:
-        g = -jnp.dot(self._prec_dev, q, preferred_element_type=self._prec_dev.dtype)
+        g = -jnp.dot(self._prec_dev, q, precision="highest",
+                     preferred_element_type=self._prec_dev.dtype)
         return 0.5 * jnp.dot(q, g)
 
     def logp_grad(self, q: jax.Array):
         # one matvec yields both the gradient and the quadratic form
-        g = -jnp.dot(self._prec_dev, q, preferred_element_type=self._prec_dev.dtype)
+        g = -jnp.dot(self._prec_dev, q, precision="highest",
+                     preferred_element_type=self._prec_dev.dtype)
         return 0.5 * jnp.dot(q, g), g
 
     def batched_logp_grad(self, q: jax.Array):
@@ -102,7 +104,8 @@ class CorrelatedGaussian:
             from ..ops import quadform_logp_grad
 
             return quadform_logp_grad(q, self._prec_dev)
-        g = -jnp.dot(q, self._prec_dev, preferred_element_type=self._prec_dev.dtype)
+        g = -jnp.dot(q, self._prec_dev, precision="highest",
+                     preferred_element_type=self._prec_dev.dtype)
         return 0.5 * jnp.sum(q * g, axis=-1), g
 
     def pallas_trajectory_spec(self):
@@ -118,7 +121,8 @@ class CorrelatedGaussian:
                 jnp.asarray(self.prec, jnp.float32))
 
             def fn(q, prec):
-                g = -jnp.dot(q, prec, preferred_element_type=jnp.float32)
+                g = -jnp.dot(q, prec, precision="highest",
+                             preferred_element_type=jnp.float32)
                 return 0.5 * jnp.sum(q * g, axis=1, keepdims=True), g
 
             self._traj_spec = PallasModelSpec(fn, (prec_pad,), n)

@@ -61,19 +61,22 @@ class LogisticRegression:
             )
 
     def logp(self, q: jax.Array) -> jax.Array:
-        logits = jnp.dot(self._Xb, q, preferred_element_type=self._Xb.dtype)
+        logits = jnp.dot(self._Xb, q, precision="highest",
+                         preferred_element_type=self._Xb.dtype)
         # sum log sigmoid(±logits), stable form
         loglik = jnp.sum(self._y * logits - jax.nn.softplus(logits))
         logprior = -0.5 * jnp.sum(q * q) / self.prior_scale ** 2
         return loglik + logprior
 
     def logp_grad(self, q: jax.Array):
-        logits = jnp.dot(self._Xb, q, preferred_element_type=self._Xb.dtype)
+        logits = jnp.dot(self._Xb, q, precision="highest",
+                         preferred_element_type=self._Xb.dtype)
         mu = jax.nn.sigmoid(logits)
         loglik = jnp.sum(self._y * logits - jax.nn.softplus(logits))
         logprior = -0.5 * jnp.sum(q * q) / self.prior_scale ** 2
         grad = (
-            jnp.dot(self._y - mu, self._Xb, preferred_element_type=self._Xb.dtype)
+            jnp.dot(self._y - mu, self._Xb, precision="highest",
+                    preferred_element_type=self._Xb.dtype)
             - q / self.prior_scale ** 2
         )
         return loglik + logprior, grad
@@ -111,13 +114,14 @@ class LogisticRegression:
             inv_ps2 = 1.0 / self.prior_scale ** 2
 
             def fn(q, Xt_c, X_c, y_c, m_c):
-                logits = jnp.dot(q, Xt_c, preferred_element_type=jnp.float32)
+                logits = jnp.dot(q, Xt_c, precision="highest",
+                                 preferred_element_type=jnp.float32)
                 mu = jax.nn.sigmoid(logits)
                 ll_terms = (y_c * logits - jax.nn.softplus(logits)) * m_c
                 loglik = jnp.sum(ll_terms, axis=1, keepdims=True)
                 logprior = -0.5 * inv_ps2 * jnp.sum(q * q, axis=1, keepdims=True)
                 grad = (
-                    jnp.dot((y_c - mu) * m_c, X_c,
+                    jnp.dot((y_c - mu) * m_c, X_c, precision="highest",
                             preferred_element_type=jnp.float32)
                     - inv_ps2 * q
                 )

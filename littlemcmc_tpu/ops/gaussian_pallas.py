@@ -39,7 +39,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(q_ref, prec_ref, logp_ref, grad_ref):
     q = q_ref[:]
-    grad = -jnp.dot(q, prec_ref[:], preferred_element_type=jnp.float32)
+    grad = -jnp.dot(q, prec_ref[:], precision="highest",
+                    preferred_element_type=jnp.float32)
     grad_ref[:] = grad
     # logp = 0.5 * rowsum(q * grad); padding columns contribute zeros.
     logp_ref[:] = 0.5 * jnp.sum(q * grad, axis=1, keepdims=True)

@@ -51,7 +51,8 @@ def _kernel(q_ref, xbt_ref, xb_ref, y_ref, prior_prec_ref, logp_ref, grad_ref):
 
     resid = y - jax.nn.sigmoid(logits)  # (T, N)
     grad_ref[:] = (
-        jnp.dot(resid, xb_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(resid, xb_ref[:], precision="highest",
+                preferred_element_type=jnp.float32)
         - prior_prec * q
     )
 
