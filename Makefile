@@ -14,3 +14,15 @@ baseline:
 
 lint:
 	python -m compileall -q littlemcmc_tpu tests bench.py __graft_entry__.py
+
+validate:
+	python scripts/deep_validation.py
+
+suite:
+	python scripts/bench_suite.py
+
+scaling:
+	python scripts/scaling_bench.py
+
+parity-pallas:
+	python scripts/validate_pallas_parity.py

@@ -40,3 +40,7 @@ class LinearRegression:
 
     def logp_grad(self, q: jax.Array):
         return jax.value_and_grad(self.logp)(q)
+
+    def batched_logp_grad(self, q: jax.Array):
+        """Chain-batched ``(logp, grad)`` for ``q: (chains, n)``."""
+        return jax.vmap(self.logp_grad)(q)
