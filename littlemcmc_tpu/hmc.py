@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .math import tree_select
+
 from .base import ChainState, HMCConfig, finish_step, start_of_trajectory
 from .integration import IntegratorState, leapfrog
 
@@ -39,8 +41,6 @@ class HMCInfo(NamedTuple):
     model_logp: jax.Array
 
 
-def _tree_select(pred, on_true, on_false):
-    return jax.tree.map(lambda t, f: jnp.where(pred, t, f), on_true, on_false)
 
 
 def run_hmc_trajectory(
@@ -87,7 +87,7 @@ def run_hmc_trajectory(
     accept_stat = jnp.minimum(1.0, jnp.exp(energy_change))
     u = jax.random.uniform(k_accept, dtype=dtype)
     accepted = (~diverging) & (u < accept_stat)
-    final = _tree_select(accepted, end, start)
+    final = tree_select(accepted, end, start)
 
     return final, end, accept_stat, accepted, diverging, energy_change, path_length, n_steps
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["logbern", "log1mexp", "logdiffexp"]
+__all__ = ["logbern", "log1mexp", "logdiffexp", "tree_select", "round_up"]
 
 
 def logbern(key: jax.Array, log_p: jax.Array) -> jax.Array:
@@ -45,3 +45,13 @@ def log1mexp(x: jax.Array) -> jax.Array:
 def logdiffexp(a: jax.Array, b: jax.Array) -> jax.Array:
     """Compute ``log(exp(a) - exp(b))`` for ``a > b`` (reference ``math.py:38-40``)."""
     return a + log1mexp(a - b)
+
+
+def tree_select(pred, on_true, on_false):
+    """Elementwise ``where`` over matching pytrees (scalar or array pred)."""
+    return jax.tree.map(lambda t, f: jnp.where(pred, t, f), on_true, on_false)
+
+
+def round_up(x: int, m: int) -> int:
+    """Round ``x`` up to the next multiple of ``m`` (tile alignment)."""
+    return ((x + m - 1) // m) * m

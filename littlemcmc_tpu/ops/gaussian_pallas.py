@@ -27,14 +27,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..math import round_up
+
 __all__ = ["quadform_logp_grad"]
 
 _CHAIN_TILE = 256
 _LANE = 128
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _kernel(q_ref, prec_ref, logp_ref, grad_ref):
@@ -84,8 +84,8 @@ def quadform_logp_grad(q: jax.Array, prec: jax.Array):
     efficiency (smaller batches are padded).
     """
     C, n = q.shape
-    n_pad = _round_up(n, _LANE)
-    C_pad = _round_up(C, _CHAIN_TILE)
+    n_pad = round_up(n, _LANE)
+    C_pad = round_up(C, _CHAIN_TILE)
     q_pad = jnp.zeros((C_pad, n_pad), jnp.float32).at[:C, :n].set(q.astype(jnp.float32))
     prec_pad = jnp.zeros((n_pad, n_pad), jnp.float32).at[:n, :n].set(
         prec.astype(jnp.float32)

@@ -28,19 +28,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..math import round_up
+
 __all__ = ["make_logistic_logp_grad"]
 
 _CHAIN_TILE = 256
 _LANE = 128
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _kernel(q_ref, xbt_ref, xb_ref, y_ref, prior_prec_ref, logp_ref, grad_ref):
     q = q_ref[:]  # (T, P)
-    logits = jnp.dot(q, xbt_ref[:], preferred_element_type=jnp.float32)  # (T, N)
+    logits = jnp.dot(q, xbt_ref[:], precision="highest",
+                     preferred_element_type=jnp.float32)  # (T, N)
     y = y_ref[:]  # (1, N)
     loglik = jnp.sum(
         y * logits - jax.nn.softplus(logits), axis=1, keepdims=True
@@ -101,8 +102,8 @@ def make_logistic_logp_grad(Xb, y, prior_scale: float):
     Xb = np.asarray(Xb, np.float32)
     y = np.asarray(y, np.float32)
     N, P = Xb.shape
-    N_pad = _round_up(N, _LANE)
-    P_pad = _round_up(P, _LANE)
+    N_pad = round_up(N, _LANE)
+    P_pad = round_up(P, _LANE)
 
     xb_pad = np.zeros((N_pad, P_pad), np.float32)
     xb_pad[:N, :P] = Xb
@@ -117,7 +118,7 @@ def make_logistic_logp_grad(Xb, y, prior_scale: float):
 
     def batched_logp_grad(q: jax.Array):
         C, p = q.shape
-        C_pad = _round_up(C, _CHAIN_TILE)
+        C_pad = round_up(C, _CHAIN_TILE)
         q_pad = jnp.zeros((C_pad, P_pad), jnp.float32).at[:C, :P].set(
             q.astype(jnp.float32)
         )

@@ -56,6 +56,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..math import round_up
+
 from ..integration import INTEGRATOR_COEFFS
 
 __all__ = ["PallasModelSpec", "build_trajectory_op", "padded_dim"]
@@ -76,8 +78,6 @@ _S_CE, _S_CLP, _S_PRE, _S_PRLP = range(4)
 _M_BLD, _M_MRG, _M_SDV, _M_STN = range(4)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def padded_dim(n: int) -> int:
@@ -86,7 +86,7 @@ def padded_dim(n: int) -> int:
     Model constants that multiply against positions (e.g. a precision
     matrix) must be zero-padded to this width.
     """
-    return _round_up(n + _N_SCALARS, _LANE)
+    return round_up(n + _N_SCALARS, _LANE)
 
 
 class PallasModelSpec:

@@ -33,6 +33,8 @@ from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
+
+from .math import tree_select
 import numpy as np
 from flax import struct
 
@@ -75,9 +77,6 @@ def partial_check_positive_definite(C) -> None:
         raise PositiveDefiniteError("Simple check failed. Diagonal contains negatives", i)
 
 
-def _tree_select(pred, on_true, on_false):
-    """Elementwise ``where`` lifted to pytrees (scalar predicate)."""
-    return jax.tree.map(lambda t, f: jnp.where(pred, t, f), on_true, on_false)
 
 
 # ---------------------------------------------------------------------------
@@ -370,8 +369,8 @@ class QuadPotentialDiagAdapt:
 
         swap = (self.n_samples > 0) & (jnp.mod(self.n_samples, self.window) == 0)
         fresh = WelfordVariance.create(self.var.shape[0], dtype=self.var.dtype)
-        new_fg = _tree_select(swap, bg, fg)
-        new_bg = _tree_select(swap, fresh, bg)
+        new_fg = tree_select(swap, bg, fg)
+        new_bg = tree_select(swap, fresh, bg)
         new_window = jnp.where(
             swap,
             (self.window.astype(jnp.float32) * self.window_multiplier).astype(jnp.int32),
@@ -388,7 +387,7 @@ class QuadPotentialDiagAdapt:
             window=new_window,
             window_multiplier=self.window_multiplier,
         )
-        return _tree_select(tuning, updated, self)
+        return tree_select(tuning, updated, self)
 
     def raise_ok(self) -> None:
         """Host-side check mirroring reference ``quadpotential.py:247-291``."""
@@ -490,8 +489,8 @@ class QuadPotentialFullAdapt:
 
         swap = delta >= self.window
         fresh = WelfordCovariance.create(self.cov.shape[0], dtype=self.cov.dtype)
-        new_fg = _tree_select(swap, bg, fg)
-        new_bg = _tree_select(swap, fresh, bg)
+        new_fg = tree_select(swap, bg, fg)
+        new_bg = tree_select(swap, fresh, bg)
         prev_update = jnp.where(swap, self.n_samples, self.prev_update)
         window = jnp.where(
             swap,
@@ -511,7 +510,7 @@ class QuadPotentialFullAdapt:
             window_multiplier=self.window_multiplier,
             update_window=self.update_window,
         )
-        return _tree_select(tuning, updated, self)
+        return tree_select(tuning, updated, self)
 
     def raise_ok(self) -> None:
         if bool(jax.device_get(jnp.any(self.chol_failed))):

@@ -62,14 +62,27 @@ def warnings_from_stats(
 ) -> List[SamplerWarning]:
     """Aggregate end-of-run warnings from ``(chains, draws)`` stats arrays.
 
-    ``stats`` holds only post-tune draws (the default ``sample()`` output).
-    Reproduces the divergence-count warning (``base_hmc.py:206-227``), the
-    NUTS tree-depth warning (``nuts.py:226-238``), and the dual-averaging
-    acceptance-interval warning (``step_sizes.py:101-121``); additionally
-    fills in the reference's declared-but-unused CONVERGENCE (split R-hat,
-    when ``trace`` is given) and BAD_ENERGY (BFMI) warning kinds.
+    ``stats`` holds post-tune draws (the default ``sample()`` output);
+    when sampled with ``discard_tuned_samples=False``, pass ``tune`` and
+    the first ``tune`` columns are excluded from every check (tuning
+    transients would otherwise trip the divergence/acceptance/BFMI
+    warnings spuriously). Reproduces the divergence-count warning
+    (``base_hmc.py:206-227``), the NUTS tree-depth warning
+    (``nuts.py:226-238``), and the dual-averaging acceptance-interval
+    warning (``step_sizes.py:101-121``); additionally fills in the
+    reference's declared-but-unused CONVERGENCE (split R-hat, when
+    ``trace`` is given) and BAD_ENERGY (BFMI) warning kinds.
     """
     warns: List[SamplerWarning] = []
+
+    if tune:
+        # drop tuning columns from every (chains, draws) stat
+        stats = {
+            k: np.asarray(v)[:, tune:] if np.ndim(v) == 2 else v
+            for k, v in stats.items()
+        }
+        if trace is not None and np.ndim(trace) == 3:
+            trace = np.asarray(trace)[:, tune:, :]
 
     diverging = np.asarray(stats.get("diverging"))
     n_samples = diverging.size

@@ -266,6 +266,14 @@ def init_nuts(
     else:
         start = jnp.zeros(model_ndim, dtype)
 
+    if logp_fn is not None:
+        if logp_dlogp_func is not None:
+            raise ValueError(
+                "Provide exactly one of `logp_dlogp_func` or `logp_fn`.")
+        # normalize a plain scalar log-density into the (logp, grad) pair
+        # the spec carries (autodiffed; memoized per function object)
+        logp_dlogp_func = as_logp_grad(logp_fn=logp_fn)
+
     potential = _make_adaptive_potential(model_ndim, start, full, dtype)
     step = NUTS(
         logp_dlogp_func=logp_dlogp_func,
@@ -558,11 +566,16 @@ def sample(
         # with a diagonal metric and float32, select the whole-trajectory
         # Pallas kernel automatically. `pallas_trajectory=None` in kwargs
         # explicitly forces the XLA tree.
+        usable_block = chains % 8 == 0 or (
+            chains >= 8 and max(
+                d for d in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+                if chains % d == 0) >= 8)
         if (
             "pallas_trajectory" not in kwargs
             and not full
             and "scaling" not in kwargs  # could be a dense metric
             and "potential" not in kwargs
+            and usable_block  # kernel needs a chain-block divisor >= 8
             and jnp.dtype(dtype) == jnp.float32
             and jax.default_backend() == "tpu"
         ):

@@ -12,13 +12,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from .math import tree_select
 from flax import struct
 
 __all__ = ["DualAverageState", "dual_average_init", "dual_average_update"]
 
 
-def _tree_select(pred, on_true, on_false):
-    return jax.tree.map(lambda t, f: jnp.where(pred, t, f), on_true, on_false)
 
 
 @struct.dataclass
@@ -77,4 +77,4 @@ def dual_average_update(
         count=state.count + 1,
         mu=state.mu,
     )
-    return _tree_select(adapting, updated, state)
+    return tree_select(adapting, updated, state)

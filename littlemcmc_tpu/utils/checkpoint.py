@@ -60,9 +60,14 @@ def restore_checkpoint(path: str, template):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), template
-    )
+
+    def _abstract(x):
+        # Preserve the template's sharding (a mesh-sharded run must come
+        # back sharded, not gathered onto the default device).
+        sharding = getattr(x, "sharding", None)
+        return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
+
+    abstract = jax.tree.map(_abstract, template)
     states = ckptr.restore(path, abstract)
     meta_file = os.path.join(path, _META_NAME)
     meta = {}

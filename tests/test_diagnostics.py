@@ -57,3 +57,21 @@ def test_bfmi_behaviour():
     # highly autocorrelated energies -> small BFMI
     e_bad = np.cumsum(rng.randn(2, 2000) * 0.01, axis=1) + rng.randn(2, 1)
     assert (bfmi(e_bad) < 0.3).all()
+
+
+def test_warnings_from_stats_excludes_tuning_columns():
+    """tune= drops the tuning columns from every check (regression)."""
+    import numpy as np
+    from littlemcmc_tpu import warnings_from_stats, WarningType
+
+    chains, tune, draws = 2, 50, 100
+    div = np.zeros((chains, tune + draws), bool)
+    div[:, :tune] = True  # all tuning draws diverge; sampling is clean
+    accept = np.full((chains, tune + draws), 0.8)
+    stats = {"diverging": div, "mean_tree_accept": accept}
+
+    warns = warnings_from_stats(stats, tune=tune)
+    assert not any(w.kind == WarningType.DIVERGENCES for w in warns)
+
+    warns_no_tune = warnings_from_stats(stats)
+    assert any(w.kind == WarningType.DIVERGENCES for w in warns_no_tune)

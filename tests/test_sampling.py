@@ -289,3 +289,17 @@ def test_higher_order_integrator_end_to_end():
     assert abs(trace.mean()) < 0.15
     assert abs(trace.std() - 1.0) < 0.15
     assert stats["diverging"].mean() < 0.01
+
+
+def test_init_nuts_logp_fn_only():
+    """init_nuts(logp_fn=...) must produce a usable step (regression)."""
+    import jax.numpy as jnp
+    import littlemcmc_tpu as lmc
+
+    start, step = lmc.init_nuts(logp_fn=lambda q: -0.5 * jnp.sum(q * q),
+                                model_ndim=2, random_seed=0)
+    trace, stats = lmc.sample(step=step, model_ndim=2, draws=100, tune=100,
+                              chains=2, random_seed=0, progressbar=False)
+    assert trace.shape == (2, 100, 2)
+    import numpy as np
+    assert np.isfinite(np.asarray(trace)).all()
