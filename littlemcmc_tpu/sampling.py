@@ -425,15 +425,22 @@ def _run_chunked(
     t0 = time.perf_counter()
     next_progress = done + progress_every
     next_checkpoint = done + checkpoint_every if (checkpoint_dir and checkpoint_every) else None
+    # Uniform stepping: every distinct chunk length compiles its own scan
+    # program, so interleaved progress/checkpoint intervals would
+    # otherwise trigger a compile per interval combination. Stepping by
+    # gcd(intervals) keeps the set of chunk lengths to at most the base
+    # plus one phase-boundary remainder per phase.
+    if next_checkpoint is not None:
+        import math as _math
+
+        base_step = _math.gcd(progress_every, checkpoint_every)
+    else:
+        base_step = progress_every
 
     while done < total:
         tuning = done < tune
         phase_end = tune if tuning else total
-        stop = phase_end
-        if next_progress is not None:
-            stop = min(stop, next_progress)
-        if next_checkpoint is not None:
-            stop = min(stop, next_checkpoint)
+        stop = min(phase_end, done + base_step)
         chunk = stop - done
         collect = collect_tune if tuning else True
 
