@@ -639,6 +639,21 @@ def _diag_inverse_mass(potential):
     return None
 
 
+def _shared_dense_cov(potential):
+    """Shared covariance of a *static* dense metric (batched), or None.
+
+    Only ``QuadPotentialFull`` qualifies: its covariance is fixed and the
+    chain batch carries a broadcast copy, so row 0 is the shared matrix.
+    Adaptive dense metrics have genuinely per-chain covariances, which do
+    not fit the trajectory kernel's VMEM budget.
+    """
+    from .quadpotential import QuadPotentialFull
+
+    if isinstance(potential, QuadPotentialFull):
+        return potential.cov[0]
+    return None
+
+
 @functools.lru_cache(maxsize=512)
 def build_nuts_kernel(
     logp_grad_fn: LogpGradFn,
@@ -705,11 +720,17 @@ def build_nuts_kernel(
 
         if trajectory_spec is not None:
             var_b = _diag_inverse_mass(states.potential)
-            if var_b is None:
-                raise ValueError(
-                    "the Pallas trajectory path requires a diagonal metric "
-                    "(QuadPotentialDiag / QuadPotentialDiagAdapt)"
-                )
+            if var_b is not None:
+                metric = "diag"
+            else:
+                var_b = _shared_dense_cov(states.potential)
+                if var_b is None:
+                    raise ValueError(
+                        "the Pallas trajectory path requires a diagonal "
+                        "metric (QuadPotentialDiag / QuadPotentialDiagAdapt) "
+                        "or a static shared dense metric (QuadPotentialFull)"
+                    )
+                metric = "dense"
             from .ops.nuts_trajectory_pallas import build_trajectory_op
 
             traj_op = build_trajectory_op(
@@ -718,6 +739,7 @@ def build_nuts_kernel(
                 config.max_treedepth,
                 config.Emax,
                 config.integrator,
+                metric=metric,
             )
             # both 32-bit words of chain 0's fresh per-draw key: 64 bits
             # of per-draw entropy for the kernel's on-core PRNG
@@ -738,9 +760,10 @@ def build_nuts_kernel(
                                          jnp.int32(0)])
                     return traj_op(q, p, g, lp, eps, mdc, var, sd)
 
+                Pv = Pc if metric == "diag" else Pr  # shared cov replicates
                 traj_call = shard_map(
                     traj_local, mesh=mesh,
-                    in_specs=(Pc, Pc, Pc, Pc, Pc, Pc, Pc, Pr),
+                    in_specs=(Pc, Pc, Pc, Pc, Pc, Pc, Pv, Pr),
                     out_specs=Pc,
                     # pallas_call outputs carry no varying-mesh-axis
                     # metadata; every output is chain-sharded by

@@ -119,7 +119,8 @@ def _uniform(shape):
     return (bits24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
 
 
-def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs):
+def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
+                       metric="diag"):
     b_coef, a_coef = coeffs
     neg_inf = float("-inf")
 
@@ -154,12 +155,31 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs):
                     x[:, n + 2:n + 3], x[:, n + 3:n + 4])
 
         V = var[:]
+        if metric == "diag":
+            # per-chain inverse-mass diagonal: velocity = V * p (fuses)
+            def velE(p_):
+                return V * p_
+
+            velC = velE
+        else:
+            # shared covariance (inverse mass): velocity = p @ COV.
+            # Energy-critical velocities (drift, kinetic) use exact f32;
+            # U-turn *decision* velocities may use the fast default (any
+            # deterministic stopping rule is valid, and the decisions are
+            # insensitive at the 1e-3 level).
+            def velE(p_):
+                return jnp.dot(p_, V, precision="highest",
+                               preferred_element_type=jnp.float32)
+
+            def velC(p_):
+                return jnp.dot(p_, V, preferred_element_type=jnp.float32)
+
         q = q0[:]
         p = p0[:]
         lp = sin[:, _IN_LOGP:_IN_LOGP + 1]
         eps_v = sin[:, _IN_EPS:_IN_EPS + 1]
         mdc_v = sin[:, _IN_MAXDEPTH:_IN_MAXDEPTH + 1]  # f32, small ints
-        E0 = 0.5 * jnp.sum(p * (V * p), axis=1, keepdims=True) - lp
+        E0 = 0.5 * jnp.sum(p * velE(p), axis=1, keepdims=True) - lp
 
         l_q[:] = q; l_p[:] = p; l_g[:] = g0[:]
         r_q[:] = q; r_p[:] = p; r_g[:] = g0[:]
@@ -225,10 +245,10 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs):
                 lpn = sfc(_S_CLP)
                 gn = c_g[:]
                 for i, ai in enumerate(a_coef):
-                    qn = qn + (ai * epss) * (V * pn)
+                    qn = qn + (ai * epss) * velE(pn)
                     lpn, gn = model(qn)
                     pn = pn + (b_coef[i + 1] * epss) * gn
-                en = 0.5 * jnp.sum(pn * (V * pn), axis=1, keepdims=True) - lpn
+                en = 0.5 * jnp.sum(pn * velE(pn), axis=1, keepdims=True) - lpn
 
                 # Aborted lanes are NOT frozen: they keep integrating
                 # garbage, but every consumer of their values is masked
@@ -275,16 +295,16 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs):
                         s_q[pl.ds(hh, 1)].reshape(CB, Npad))
 
                     # 3-way generalized U-turn (reference nuts.py:389-398);
-                    # boundary velocities recomputed as V * p.
+                    # boundary velocities recomputed from momenta.
                     ps = t1_ps + t2_ps
-                    turn = ((rowdot(ps, V * t1_lp) <= 0)
-                            | (rowdot(ps, V * t2_rp) <= 0))
+                    turn = ((rowdot(ps, velC(t1_lp)) <= 0)
+                            | (rowdot(ps, velC(t2_rp)) <= 0))
                     ps1 = t1_ps + t2_lp
-                    turn1 = ((rowdot(ps1, V * t1_lp) <= 0)
-                             | (rowdot(ps1, V * t2_lp) <= 0))
+                    turn1 = ((rowdot(ps1, velC(t1_lp)) <= 0)
+                             | (rowdot(ps1, velC(t2_lp)) <= 0))
                     ps2 = t1_rp + t2_ps
-                    turn2 = ((rowdot(ps2, V * t1_rp) <= 0)
-                             | (rowdot(ps2, V * t2_rp) <= 0))
+                    turn2 = ((rowdot(ps2, velC(t1_rp)) <= 0)
+                             | (rowdot(ps2, velC(t2_rp)) <= 0))
                     turn = turn | ((j >= 1) & (turn1 | turn2))
 
                     ls = jnp.logaddexp(t1_ls, t2_ls)
@@ -369,15 +389,15 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs):
 
             # 3-way U-turn on the merged span (nuts.py:332-340)
             pst = psum[:]
-            tf = (rowdot(pst, V * l_p[:]) <= 0) | (rowdot(pst, V * r_p[:]) <= 0)
+            tf = (rowdot(pst, velC(l_p[:])) <= 0) | (rowdot(pst, velC(r_p[:])) <= 0)
             ps1 = jnp.where(go_right, old_ps + n_lp, n_ps + old_l_p)
             p1a = jnp.where(go_right, old_l_p, n_rp)
             p1b = jnp.where(go_right, n_lp, old_l_p)
-            t1c = (rowdot(ps1, V * p1a) <= 0) | (rowdot(ps1, V * p1b) <= 0)
+            t1c = (rowdot(ps1, velC(p1a)) <= 0) | (rowdot(ps1, velC(p1b)) <= 0)
             ps2 = jnp.where(go_right, old_r_p + n_ps, n_lp + old_ps)
             p2a = jnp.where(go_right, old_r_p, n_lp)
             p2b = jnp.where(go_right, n_rp, old_r_p)
-            t2c = (rowdot(ps2, V * p2a) <= 0) | (rowdot(ps2, V * p2b) <= 0)
+            t2c = (rowdot(ps2, velC(p2a)) <= 0) | (rowdot(ps2, velC(p2b)) <= 0)
             turning_new = tf | t1c | t2c
 
             # masks stay int/float valued: Mosaic cannot select between
@@ -422,6 +442,7 @@ def build_trajectory_op(
     chain_block: int = 512,
     interpret: bool = False,
     vmem_limit_bytes: int = 64 * 1024 * 1024,
+    metric: str = "diag",
 ):
     """Build ``traj(q, p, grad, logp, eps, max_depth_c, var, seed)``.
 
@@ -431,6 +452,11 @@ def build_trajectory_op(
     log-weights, depth, leaf count, divergence/turning flags, max
     energy change). Chains are processed in blocks of ``chain_block``
     (reduced to a divisor of C if needed).
+
+    ``metric``: ``"diag"`` (``var`` is the per-chain ``(C, n)``
+    inverse-mass diagonal) or ``"dense"`` (``var`` is one ``(n, n)``
+    covariance shared by all chains; velocities become matmuls in the
+    kernel).
     """
     coeffs = INTEGRATOR_COEFFS[integrator]
     Npad = padded_dim(n)
@@ -465,7 +491,10 @@ def build_trajectory_op(
         qp = jnp.pad(q.astype(f32), padw)
         pp = jnp.pad(p.astype(f32), padw)
         gp = jnp.pad(grad.astype(f32), padw)
-        vp = jnp.pad(var.astype(f32), padw)
+        if metric == "diag":
+            vp = jnp.pad(var.astype(f32), padw)
+        else:  # shared (n, n) covariance, zero-padded square
+            vp = jnp.pad(var.astype(f32), ((0, Npad - n), (0, Npad - n)))
         sin = jnp.zeros((C, _N_IN), f32)
         sin = sin.at[:, _IN_LOGP].set(logp.astype(f32))
         sin = sin.at[:, _IN_EPS].set(eps.astype(f32))
@@ -478,6 +507,9 @@ def build_trajectory_op(
         grid = (C // CB,)
         row_spec = pl.BlockSpec((CB, Npad), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
+        var_spec = (row_spec if metric == "diag"
+                    else pl.BlockSpec((Npad, Npad), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
         in_spec = pl.BlockSpec((CB, _N_IN), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
         out_sc_spec = pl.BlockSpec((CB, _N_OUT), lambda i: (i, 0),
@@ -503,13 +535,14 @@ def build_trajectory_op(
         )
 
         kernel = _build_kernel_body(
-            model_fn, n_consts, n, Npad, CB, D, float(Emax), coeffs
+            model_fn, n_consts, n, Npad, CB, D, float(Emax), coeffs,
+            metric=metric,
         )
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      row_spec, row_spec, row_spec, in_spec, row_spec]
+                      row_spec, row_spec, row_spec, in_spec, var_spec]
                      + const_specs,
             out_shape=out_shapes,
             out_specs=out_specs,

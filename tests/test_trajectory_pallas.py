@@ -44,9 +44,10 @@ def test_padded_dim_leaves_room_for_scalars():
     assert padded_dim(252) == 256
 
 
-def test_requires_diag_metric():
+def test_rejects_adaptive_dense_metric():
+    """Per-chain adaptive dense metrics cannot run in the kernel (VMEM)."""
     model = models.CorrelatedGaussian(8)
-    pot = lmc.QuadPotentialFull.create(jnp.eye(8))
+    pot = lmc.QuadPotentialFullAdapt.create(8)
     step = lmc.NUTS(model_ndim=8, potential=pot,
                     pallas_trajectory=model.pallas_trajectory_spec())
     with pytest.raises(ValueError, match="diagonal metric"):
@@ -116,3 +117,21 @@ def test_pallas_path_composes_with_mesh():
     tr = np.asarray(trace)
     assert np.abs(tr.mean(axis=(0, 1))).max() < 0.3
     assert 0.6 < np.asarray(stats["mean_tree_accept"])[:, -100:].mean() < 0.95
+
+
+@requires_tpu
+def test_dense_metric_pallas_path():
+    """Static shared dense metric runs in the trajectory kernel."""
+    C, N = 128, 16
+    model = models.CorrelatedGaussian(N)
+    pot = lmc.QuadPotentialFull.create(jnp.asarray(model.cov, jnp.float32))
+    step = lmc.NUTS(model_ndim=N, potential=pot,
+                    pallas_trajectory=model.pallas_trajectory_spec())
+    trace, stats = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=N,
+                              draws=300, tune=200, chains=C, random_seed=4,
+                              step=step, progressbar=False)
+    tr = np.asarray(trace)
+    vr = tr.reshape(-1, N).var(axis=0) / model.true_var
+    # perfect metric: near-iid sampling, tight variances
+    assert vr.min() > 0.85 and vr.max() < 1.2
+    assert np.asarray(stats["diverging"]).mean() < 0.01
