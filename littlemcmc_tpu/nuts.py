@@ -639,17 +639,22 @@ def _diag_inverse_mass(potential):
     return None
 
 
-def _shared_dense_cov(potential):
-    """Shared covariance of a *static* dense metric (batched), or None.
+def _shared_dense_cov(potential, pooled: bool = False):
+    """Shared covariance of a dense metric (batched), or None.
 
-    Only ``QuadPotentialFull`` qualifies: its covariance is fixed and the
-    chain batch carries a broadcast copy, so row 0 is the shared matrix.
-    Adaptive dense metrics have genuinely per-chain covariances, which do
-    not fit the trajectory kernel's VMEM budget.
+    ``QuadPotentialFull`` always qualifies: its covariance is fixed and
+    the chain batch carries a broadcast copy, so row 0 is the shared
+    matrix. ``QuadPotentialFullAdapt`` qualifies only under cross-chain
+    pooled adaptation (``pooled=True``): the driver overwrites every
+    chain's metric with the pooled estimate each tuning step, so row 0
+    is the shared matrix at every kernel entry. Per-chain adaptive dense
+    covariances cannot fit the trajectory kernel's VMEM budget.
     """
-    from .quadpotential import QuadPotentialFull
+    from .quadpotential import QuadPotentialFull, QuadPotentialFullAdapt
 
     if isinstance(potential, QuadPotentialFull):
+        return potential.cov[0]
+    if pooled and isinstance(potential, QuadPotentialFullAdapt):
         return potential.cov[0]
     return None
 
@@ -662,6 +667,7 @@ def build_nuts_kernel(
     trajectory_spec=None,
     mesh=None,
     chain_axis: str = "chains",
+    pooled_metric: bool = False,
 ):
     """Build the chain-batched NUTS transition ``kernel(states, tuning)``.
 
@@ -723,12 +729,15 @@ def build_nuts_kernel(
             if var_b is not None:
                 metric = "diag"
             else:
-                var_b = _shared_dense_cov(states.potential)
+                var_b = _shared_dense_cov(states.potential,
+                                          pooled=pooled_metric)
                 if var_b is None:
                     raise ValueError(
                         "the Pallas trajectory path requires a diagonal "
-                        "metric (QuadPotentialDiag / QuadPotentialDiagAdapt) "
-                        "or a static shared dense metric (QuadPotentialFull)"
+                        "metric (QuadPotentialDiag / QuadPotentialDiagAdapt), "
+                        "a static shared dense metric (QuadPotentialFull), or "
+                        "a cross-chain pooled adaptive dense metric "
+                        "(QuadPotentialFullAdapt with cross_chain_adapt=True)"
                     )
                 metric = "dense"
             from .ops.nuts_trajectory_pallas import build_trajectory_op

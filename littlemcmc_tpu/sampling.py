@@ -128,7 +128,8 @@ class NUTS(_StepSpec):
         self.batched_logp_dlogp_func = batched_logp_dlogp_func
         # Optional littlemcmc_tpu.ops.PallasModelSpec: runs the whole
         # tree-building trajectory as one Pallas TPU kernel (VMEM-resident
-        # stack, inlined model). Diagonal metrics only.
+        # stack, inlined model). Metrics: diagonal, static shared dense,
+        # or cross-chain pooled adaptive dense.
         self.pallas_trajectory = pallas_trajectory
         self.config = NUTSConfig(
             target_accept=float(target_accept),
@@ -145,10 +146,10 @@ class NUTS(_StepSpec):
         )
 
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
-                     chain_axis: str = "chains"):
+                     chain_axis: str = "chains", pooled_metric: bool = False):
         return build_nuts_kernel(
             logp_grad_fn, self.config, self.batched_logp_dlogp_func,
-            self.pallas_trajectory, mesh, chain_axis,
+            self.pallas_trajectory, mesh, chain_axis, pooled_metric,
         )
 
 
@@ -208,8 +209,8 @@ class HamiltonianMC(_StepSpec):
         )
 
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
-                     chain_axis: str = "chains"):
-        del mesh, chain_axis  # HMC has no pallas_call to partition
+                     chain_axis: str = "chains", pooled_metric: bool = False):
+        del mesh, chain_axis, pooled_metric  # no pallas_call to partition
         return build_hmc_kernel(logp_grad_fn, self.config)
 
 
@@ -644,7 +645,8 @@ def sample(
     # --- The compiled sampling program -----------------------------------
     # The pallas trajectory op (if any) must be shard_map-wrapped over a
     # multi-device mesh: GSPMD cannot auto-partition a pallas_call.
-    kernel = step.build_kernel(logp_grad, mesh=mesh, chain_axis=chain_axis)
+    kernel = step.build_kernel(logp_grad, mesh=mesh, chain_axis=chain_axis,
+                               pooled_metric=cross_chain_adapt)
     collect_tune = not discard_tuned_samples
 
     if progressbar:

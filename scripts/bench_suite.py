@@ -19,14 +19,16 @@ sys.path.insert(0, REPO)
 
 
 def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=42,
-               target_accept=0.8, pallas=True):
+               target_accept=0.8, pallas=True, **sample_kwargs):
     import jax
     import littlemcmc_tpu as lmc
     from littlemcmc_tpu.utils.diagnostics import ess_bulk, split_rhat
 
-    extra = {}
-    # Whole-trajectory Pallas kernel: diagonal-metric configs only.
-    if pallas and "full" not in init and jax.default_backend() == "tpu":
+    extra = dict(sample_kwargs)
+    # Whole-trajectory Pallas kernel: diagonal metrics, plus pooled dense
+    # (cross_chain_adapt makes the adaptive covariance shared).
+    supported = "full" not in init or extra.get("cross_chain_adapt", False)
+    if pallas and supported and jax.default_backend() == "tpu":
         extra["pallas_trajectory"] = model.pallas_trajectory_spec()
 
     CHUNK = 50
@@ -97,6 +99,12 @@ def main():
         models.CorrelatedGaussian(100),
         chains=256 // scale, tune=500 // scale, draws=1000 // scale,
         init="jitter+adapt_full",
+    )
+    results["corr_gaussian_100d_full_pooled"] = run_config(
+        "100-d corr Gaussian, cross-chain pooled full adapt (extension)",
+        models.CorrelatedGaussian(100),
+        chains=256 // scale, tune=500 // scale, draws=1000 // scale,
+        init="jitter+adapt_full", cross_chain_adapt=True,
     )
     results["funnel_10d"] = run_config(
         "Neal's funnel 10-d (config 3)", models.NealsFunnel(10),

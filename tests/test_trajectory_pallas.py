@@ -135,3 +135,20 @@ def test_dense_metric_pallas_path():
     # perfect metric: near-iid sampling, tight variances
     assert vr.min() > 0.85 and vr.max() < 1.2
     assert np.asarray(stats["diverging"]).mean() < 0.01
+
+
+@requires_tpu
+def test_pooled_dense_metric_pallas_path():
+    """Cross-chain pooled adaptive dense metric runs in the kernel."""
+    C, N = 128, 16
+    model = models.CorrelatedGaussian(N)
+    step = lmc.NUTS(model_ndim=N,
+                    pallas_trajectory=model.pallas_trajectory_spec())
+    trace, stats = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=N,
+                              draws=400, tune=300, chains=C, random_seed=6,
+                              step=step, init="jitter+adapt_full",
+                              cross_chain_adapt=True, progressbar=False)
+    tr = np.asarray(trace)
+    vr = tr.reshape(-1, N).var(axis=0) / model.true_var
+    assert vr.min() > 0.8 and vr.max() < 1.25
+    assert np.asarray(stats["diverging"]).mean() < 0.01
