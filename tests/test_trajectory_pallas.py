@@ -152,3 +152,21 @@ def test_pooled_dense_metric_pallas_path():
     vr = tr.reshape(-1, N).var(axis=0) / model.true_var
     assert vr.min() > 0.8 and vr.max() < 1.25
     assert np.asarray(stats["diverging"]).mean() < 0.01
+
+
+@requires_tpu
+def test_pallas_path_checkpoint_resume_bit_identical(tmp_path):
+    """The kernel re-seeds its PRNG from the chain keys each draw, so a
+    resumed run reproduces the full run's tail bit-for-bit."""
+    ckpt = str(tmp_path / "ckpt")
+    model = models.CorrelatedGaussian(8)
+    step = lmc.NUTS(model_ndim=8,
+                    pallas_trajectory=model.pallas_trajectory_spec())
+    kwargs = dict(logp_dlogp_func=model.logp_grad, model_ndim=8,
+                  draws=60, tune=40, chains=16, random_seed=17,
+                  step=step, progressbar=False)
+    t_full, _ = lmc.sample(checkpoint_dir=ckpt, checkpoint_every=30, **kwargs)
+    t_resumed, _ = lmc.sample(checkpoint_dir=ckpt, resume=True, **kwargs)
+    assert t_resumed.shape == (16, 10, 8)
+    np.testing.assert_array_equal(np.asarray(t_resumed),
+                                  np.asarray(t_full)[:, -10:, :])
