@@ -89,6 +89,18 @@ def padded_dim(n: int) -> int:
     return round_up(n + _N_SCALARS, _LANE)
 
 
+def usable_chain_count(chains: int, chain_block: int = 512) -> bool:
+    """Whether the trajectory kernel can block ``chains`` (divisor >= 8).
+
+    Mirrors the CB-resolution rule in :func:`build_trajectory_op`: start
+    at ``min(chain_block, chains)`` and halve until it divides.
+    """
+    cb = min(chain_block, chains)
+    while chains % cb:
+        cb //= 2
+    return cb >= 8
+
+
 class PallasModelSpec:
     """An inlineable model for the whole-trajectory Pallas kernel.
 

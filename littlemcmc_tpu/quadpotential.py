@@ -236,7 +236,10 @@ class QuadPotentialFull:
         return cls(cov=cov, chol=jnp.linalg.cholesky(cov))
 
     def velocity(self, p: jax.Array) -> jax.Array:
-        return jnp.dot(self.cov, p, preferred_element_type=self.cov.dtype)
+        # exact-f32: bf16 MXU inputs bias the sampled density (the kinetic
+        # energy would no longer match the momentum-sampling density)
+        return jnp.dot(self.cov, p, precision="highest",
+                       preferred_element_type=self.cov.dtype)
 
     def kinetic(self, p: jax.Array, velocity: Optional[jax.Array] = None) -> jax.Array:
         if velocity is None:
@@ -279,7 +282,8 @@ class QuadPotentialFullInv:
 
     def sample_momentum(self, key: jax.Array) -> jax.Array:
         n = jax.random.normal(key, (self.chol.shape[0],), self.chol.dtype)
-        return jnp.dot(self.chol, n, preferred_element_type=self.chol.dtype)
+        return jnp.dot(self.chol, n, precision="highest",
+                       preferred_element_type=self.chol.dtype)
 
     def update(self, sample, grad, tuning):
         return self
@@ -462,7 +466,10 @@ class QuadPotentialFullAdapt:
         )
 
     def velocity(self, p: jax.Array) -> jax.Array:
-        return jnp.dot(self.cov, p, preferred_element_type=self.cov.dtype)
+        # exact-f32: bf16 MXU inputs bias the sampled density (the kinetic
+        # energy would no longer match the momentum-sampling density)
+        return jnp.dot(self.cov, p, precision="highest",
+                       preferred_element_type=self.cov.dtype)
 
     def kinetic(self, p: jax.Array, velocity: Optional[jax.Array] = None) -> jax.Array:
         if velocity is None:

@@ -435,6 +435,11 @@ def _run_chunked(
         import math as _math
 
         base_step = _math.gcd(progress_every, checkpoint_every)
+        if base_step < 25:
+            # Coprime-ish intervals would degrade to per-draw dispatch;
+            # step by the smaller interval instead and let the larger one
+            # fire (slightly late) on the `done >= next_*` checks below.
+            base_step = min(progress_every, checkpoint_every)
     else:
         base_step = progress_every
 
@@ -574,10 +579,11 @@ def sample(
         # with a diagonal metric and float32, select the whole-trajectory
         # Pallas kernel automatically. `pallas_trajectory=None` in kwargs
         # explicitly forces the XLA tree.
-        usable_block = chains % 8 == 0 or (
-            chains >= 8 and max(
-                d for d in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
-                if chains % d == 0) >= 8)
+        from .ops.nuts_trajectory_pallas import usable_chain_count
+
+        # the kernel blocks the *per-device* chain shard under a mesh
+        local_chains = chains // mesh.size if mesh is not None else chains
+        usable_block = local_chains >= 1 and usable_chain_count(local_chains)
         if (
             "pallas_trajectory" not in kwargs
             and not full
