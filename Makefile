@@ -1,10 +1,18 @@
-.PHONY: test test-fast bench baseline lint
+.PHONY: test test-fast test-tpu doctest bench baseline lint
 
 test:
 	python -m pytest tests/ -q
 
 test-fast:
 	python -m pytest tests/ -q -x -k "not recovery and not parity"
+
+# Run the TPU-gated Pallas trajectory-kernel tests on the real chip
+# (they are skipped under the default CPU-forced suite).
+test-tpu:
+	LMC_TEST_PLATFORM=tpu python -m pytest tests/test_trajectory_pallas.py -q -rs
+
+doctest:
+	python -m pytest --doctest-modules littlemcmc_tpu -q
 
 bench:
 	python bench.py

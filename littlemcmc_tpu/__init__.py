@@ -6,6 +6,21 @@ once by XLA, ``vmap``-ed over thousands of chains, driven by ``lax.scan``,
 and sharded over a ``chains`` mesh axis for multi-chip / multi-host runs.
 
 Public API mirrors the reference's ``littlemcmc/__init__.py:19-29``.
+
+Quickstart (the reference's ``docs/tutorials/quickstart.rst:64-90``, on
+device):
+
+>>> import jax.numpy as jnp
+>>> import littlemcmc_tpu as lmc
+>>> def logp_grad(x):
+...     return -0.5 * jnp.sum(x ** 2), -x
+>>> trace, stats = lmc.sample(
+...     logp_dlogp_func=logp_grad, model_ndim=2, chains=4,
+...     tune=100, draws=100, random_seed=0, progressbar=False)
+>>> trace.shape
+(4, 100, 2)
+>>> sorted(stats)[:3]
+['depth', 'diverging', 'energy']
 """
 
 __version__ = "0.1.0"

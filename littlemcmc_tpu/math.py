@@ -30,6 +30,12 @@ def log1mexp(x: jax.Array) -> jax.Array:
 
     Uses the two-branch switch at 0.683 from Maechler's log1mexp note
     (same scheme as the reference ``math.py:28-35``).
+
+    >>> import numpy as np
+    >>> bool(np.isclose(log1mexp(1.0), np.log(1 - np.exp(-1.0)), rtol=1e-4))
+    True
+    >>> bool(np.isclose(log1mexp(1e-6), np.log(1e-6), rtol=1e-3))  # stable branch
+    True
     """
     x = jnp.asarray(x)
     # Guard both branches so the untaken one cannot generate NaN gradients.
@@ -43,7 +49,12 @@ def log1mexp(x: jax.Array) -> jax.Array:
 
 
 def logdiffexp(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Compute ``log(exp(a) - exp(b))`` for ``a > b`` (reference ``math.py:38-40``)."""
+    """Compute ``log(exp(a) - exp(b))`` for ``a > b`` (reference ``math.py:38-40``).
+
+    >>> import numpy as np
+    >>> bool(np.isclose(logdiffexp(np.log(5.0), np.log(3.0)), np.log(2.0), rtol=1e-4))
+    True
+    """
     return a + log1mexp(a - b)
 
 

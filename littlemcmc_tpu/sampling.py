@@ -290,8 +290,34 @@ def _as_seed(random_seed) -> int:
         return int(np.random.randint(2 ** 30))
     if isinstance(random_seed, (int, np.integer)):
         return int(random_seed)
-    # A list of per-chain seeds (reference API); fold into one master seed.
+    # A list of per-chain seeds; callers that need one master seed
+    # (init_nuts' single start point) take the first. sample() itself
+    # honors the full list via _resolve_chain_keys.
     return int(np.atleast_1d(np.asarray(random_seed))[0])
+
+
+def _resolve_chain_keys(random_seed, chains: int):
+    """Per-chain ``(init_keys, chain_keys)`` from a seed or seed list.
+
+    Mirrors the reference's per-chain seed semantics
+    (``sampling.py:131-138``): a list must carry one seed per chain, and
+    each chain's RNG stream derives from its own seed only — so a user
+    pinning ``random_seed=[1, 2, 3, 4]`` gets four independent,
+    individually-reproducible streams.
+    """
+    if random_seed is not None and not isinstance(random_seed, (int, np.integer)):
+        seeds = np.asarray(random_seed).ravel()
+        if seeds.size != chains:
+            raise ValueError(
+                "random_seed must be an int or a sequence with one seed per "
+                f"chain ({chains}); got {seeds.size} seeds."
+            )
+        base = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
+    else:
+        key = jax.random.key(_as_seed(random_seed))
+        base = jax.random.split(key, chains)
+    pairs = jax.vmap(lambda k: jax.random.split(k, 2))(base)
+    return pairs[:, 0], pairs[:, 1]
 
 
 def _broadcast_potential(potential, chains: int):
@@ -561,9 +587,7 @@ def sample(
         logp_fn,
     )
 
-    seed = _as_seed(random_seed)
-    key = jax.random.key(seed)
-    k_init, k_chains = jax.random.split(key)
+    init_keys, chain_keys = _resolve_chain_keys(random_seed, chains)
 
     # --- Resolve the step spec and init method --------------------------
     init_l = (init or "auto").lower()
@@ -616,14 +640,15 @@ def sample(
                 )
             starts = start
     elif jitter:
-        starts = 2.0 * jax.random.uniform(k_init, (chains, model_ndim), dtype) - 1.0
+        starts = jax.vmap(
+            lambda k: 2.0 * jax.random.uniform(k, (model_ndim,), dtype) - 1.0
+        )(init_keys)
     else:
         starts = jnp.zeros((chains, model_ndim), dtype)
 
     # --- Per-chain potentials and states ---------------------------------
     # The whole init is jitted: eager op-by-op dispatch is slow enough on
     # some backends to dominate short runs.
-    chain_keys = jax.random.split(k_chains, chains)
     has_potential = step.potential is not None
     init_fn = _make_init_fn(step.config, logp_grad, model_ndim, full, dtype, has_potential)
     if has_potential:
@@ -709,6 +734,16 @@ def sample(
             arrays = [np.asarray(jax.device_get(getattr(o[1], name))) for o in outs]
             arr = np.concatenate(arrays, axis=0).T  # (chains, draws)
             stats[name] = arr.astype(dtypes.get(name, arr.dtype))
+
+    expected = draws + (tune if collect_tune else 0)
+    if resume and trace.shape[1] < expected:
+        _log.warning(
+            "Resume: the restored checkpoint already covered %d of the %d "
+            "requested draws; only the remaining %d were sampled and "
+            "returned. Pass a larger `draws` (or a fresh checkpoint_dir) "
+            "for a full trace.",
+            expected - trace.shape[1], expected, trace.shape[1],
+        )
 
     if return_final_state:
         return trace, stats, final_states

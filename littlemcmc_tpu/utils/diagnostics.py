@@ -94,7 +94,16 @@ def _rhat_from_z(z: np.ndarray) -> float:
 
 
 def split_rhat(x: np.ndarray, rank_normalized: bool = True) -> float:
-    """Rank-normalized split R-hat for one parameter, ``x: (chains, draws)``."""
+    """Rank-normalized split R-hat for one parameter, ``x: (chains, draws)``.
+
+    >>> rng = np.random.default_rng(0)
+    >>> mixed = rng.normal(size=(4, 500))
+    >>> bool(split_rhat(mixed) < 1.01)
+    True
+    >>> stuck = mixed + np.arange(4)[:, None]  # chains at different levels
+    >>> bool(split_rhat(stuck) > 1.2)
+    True
+    """
     x = np.asarray(x, np.float64)
     if rank_normalized:
         x = _rank_normalize(x)

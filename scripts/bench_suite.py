@@ -118,6 +118,9 @@ def main():
     results["eight_schools_10k_chains"] = run_config(
         "Eight schools non-centered, 10k chains (config 5)", models.EightSchools(),
         chains=10240 // scale, tune=500 // scale, draws=500 // scale,
+        # Hierarchical geometry: the default 0.8 yields ~20% divergent
+        # transitions and a biased posterior; 0.95 brings it under 2%.
+        target_accept=0.95,
     )
 
     meta = {

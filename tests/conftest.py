@@ -1,22 +1,10 @@
-"""Test config: force the true-CPU backend with 8 virtual devices.
-
-The container pre-registers the remote `axon` TPU backend via
-sitecustomize; tests must run on local CPU (with a virtual 8-device mesh
-for sharding tests), so we override the platform before any backend use.
+"""Test fixtures. Backend selection lives in the ROOT conftest.py
+(repo root) so doctest runs share it; see there for LMC_TEST_PLATFORM.
 """
 
-import os
-
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+import jax
+import numpy as np
+import pytest
 
 
 @pytest.fixture(scope="session")
@@ -24,8 +12,11 @@ def eight_device_mesh():
     from jax.sharding import Mesh
 
     devices = jax.devices()
-    assert len(devices) == 8, f"expected 8 virtual CPU devices, got {len(devices)}"
-    return Mesh(np.array(devices), ("chains",))
+    if len(devices) < 8:
+        pytest.skip(
+            f"needs 8 devices for the virtual mesh, backend has {len(devices)}"
+        )
+    return Mesh(np.array(devices[:8]), ("chains",))
 
 
 def std_normal_logp_grad(q):

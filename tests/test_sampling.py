@@ -155,6 +155,42 @@ def test_reproducible_with_seed():
     np.testing.assert_array_equal(s1["depth"], s2["depth"])
 
 
+def test_per_chain_seed_list():
+    """A seed list gives each chain its own stream (reference sampling.py:131-138).
+
+    Chains sharing a seed are bit-identical; chains with different seeds
+    differ; and each chain's trace depends only on its own seed, not its
+    slot index or its neighbors.
+    """
+    kwargs = dict(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=2,
+        draws=40,
+        tune=40,
+        progressbar=False,
+    )
+    trace, _ = lmc.sample(chains=4, random_seed=[7, 8, 7, 9], **kwargs)
+    np.testing.assert_array_equal(trace[0], trace[2])
+    assert not np.allclose(trace[0], trace[1])
+    assert not np.allclose(trace[1], trace[3])
+    # per-seed stream is position-independent: rerun with seed 8 elsewhere
+    trace2, _ = lmc.sample(chains=2, random_seed=[8, 11], **kwargs)
+    np.testing.assert_array_equal(trace2[0], trace[1])
+
+
+def test_seed_list_wrong_length_raises():
+    with pytest.raises(ValueError, match="one seed per chain"):
+        lmc.sample(
+            logp_dlogp_func=std_normal_logp_grad,
+            model_ndim=2,
+            draws=4,
+            tune=4,
+            chains=4,
+            random_seed=[1, 2],
+            progressbar=False,
+        )
+
+
 def test_chains_differ():
     trace, _ = lmc.sample(
         logp_dlogp_func=std_normal_logp_grad,
