@@ -431,6 +431,7 @@ class QuadPotentialFullAdapt:
     window: jax.Array  # int32, doubles each swap
     window_multiplier: float = struct.field(pytree_node=False, default=2.0)
     update_window: int = struct.field(pytree_node=False, default=1)
+    regularize: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(
@@ -442,6 +443,7 @@ class QuadPotentialFullAdapt:
         adaptation_window: int = 101,
         adaptation_window_multiplier: float = 2.0,
         update_window: int = 1,
+        regularize: bool = True,
         dtype=jnp.float32,
     ) -> "QuadPotentialFullAdapt":
         if initial_mean is None:
@@ -463,6 +465,7 @@ class QuadPotentialFullAdapt:
             window=jnp.asarray(adaptation_window, jnp.int32),
             window_multiplier=float(adaptation_window_multiplier),
             update_window=int(update_window),
+            regularize=bool(regularize),
         )
 
     def velocity(self, p: jax.Array) -> jax.Array:
@@ -488,6 +491,18 @@ class QuadPotentialFullAdapt:
 
         do_refresh = jnp.mod(delta + 1, self.update_window) == 0
         cov_new = fg.current_covariance()
+        if self.regularize:
+            # Stan-style shrinkage toward a small diagonal prior
+            # (stan::mcmc::covar_adaptation): with w draws in the window,
+            #   cov <- w/(w+5) * cov + 1e-3 * 5/(w+5) * I.
+            # The reference reproduces Stan's *estimator* but drops this
+            # regularization (quadpotential.py:471-560); at ndim ~ window
+            # size the raw sample covariance is near-singular and per-chain
+            # adapted runs ship visibly overdispersed posteriors.
+            w = fg.n_samples
+            shrink = w / (w + 5.0)
+            eye = jnp.eye(cov_new.shape[0], dtype=cov_new.dtype)
+            cov_new = shrink * cov_new + (1e-3 * (1.0 - shrink)) * eye
         chol_new = jnp.linalg.cholesky(cov_new)
         chol_ok = jnp.all(jnp.isfinite(chol_new))
         cov = jnp.where(do_refresh, cov_new, self.cov)
@@ -516,6 +531,7 @@ class QuadPotentialFullAdapt:
             window=window,
             window_multiplier=self.window_multiplier,
             update_window=self.update_window,
+            regularize=self.regularize,
         )
         return tree_select(tuning, updated, self)
 

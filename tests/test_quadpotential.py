@@ -204,6 +204,53 @@ def test_full_adapt_learns_covariance():
     )
 
 
+def test_full_adapt_shrinkage_formula():
+    """regularize=True applies Stan-style shrinkage toward 1e-3*I.
+
+    cov == w/(w+5) * raw_cov + 1e-3 * 5/(w+5) * I, with raw_cov taken
+    from an unregularized twin fed the same samples.
+    """
+    rng = np.random.RandomState(7)
+    kw = dict(initial_mean=jnp.zeros(3), initial_cov=jnp.eye(3), initial_weight=1.0)
+    reg = QuadPotentialFullAdapt.create(3, regularize=True, **kw)
+    raw = QuadPotentialFullAdapt.create(3, regularize=False, **kw)
+    tuning = jnp.asarray(True)
+    k = 12
+    for _ in range(k):
+        x = jnp.asarray(rng.randn(3).astype(np.float32))
+        reg = reg.update(x, x, tuning)
+        raw = raw.update(x, x, tuning)
+    w = k + 1.0  # warm-start counts one pseudo-sample
+    shrink = w / (w + 5.0)
+    expected = shrink * np.asarray(raw.cov) + 1e-3 * (1.0 - shrink) * np.eye(3)
+    np.testing.assert_allclose(np.asarray(reg.cov), expected, rtol=1e-5, atol=1e-7)
+
+
+def test_full_adapt_shrinkage_keeps_rank_deficient_cov_pd():
+    """ndim > samples-in-window: the raw sample covariance is singular
+    (Cholesky produces non-finite entries); the shrunk one stays PD.
+
+    This is the failure mode behind the round-1 per-chain full-adapt
+    overdispersion (BENCH var_ratio 1.39 -> 1.00 with shrinkage): at
+    ndim ~ window size the windowed estimate is (near-)singular.
+    """
+    rng = np.random.RandomState(8)
+    n, k = 8, 4
+    wc = WelfordCovariance.create(n, dtype=jnp.float32)
+    for _ in range(k):
+        wc = wc.add_sample(jnp.asarray(rng.randn(n).astype(np.float32)))
+    raw_cov = np.asarray(wc.current_covariance())
+    # rank <= k-1 < n: the raw estimate is singular and unusable as a metric
+    assert np.linalg.matrix_rank(raw_cov, tol=1e-5) < n
+    assert not np.all(np.isfinite(np.asarray(jnp.linalg.cholesky(jnp.asarray(raw_cov)))))
+    # the shrunk estimate (same formula as QuadPotentialFullAdapt.update)
+    w = float(wc.n_samples)
+    shrink = w / (w + 5.0)
+    reg_cov = shrink * raw_cov + 1e-3 * (1.0 - shrink) * np.eye(n)
+    assert np.linalg.eigvalsh(reg_cov).min() > 0
+    assert np.all(np.isfinite(np.linalg.cholesky(reg_cov)))
+
+
 def test_full_adapt_window_doubles():
     pot = QuadPotentialFullAdapt.create(2, adaptation_window=4)
     tuning = jnp.asarray(True)
