@@ -668,6 +668,7 @@ def build_nuts_kernel(
     mesh=None,
     chain_axis: str = "chains",
     pooled_metric: bool = False,
+    trajectory_interpret: bool = False,
 ):
     """Build the chain-batched NUTS transition ``kernel(states, tuning)``.
 
@@ -749,6 +750,7 @@ def build_nuts_kernel(
                 config.Emax,
                 config.integrator,
                 metric=metric,
+                interpret=trajectory_interpret,
             )
             # both 32-bit words of chain 0's fresh per-draw key: 64 bits
             # of per-draw entropy for the kernel's on-core PRNG

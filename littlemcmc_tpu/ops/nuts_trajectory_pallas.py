@@ -31,10 +31,11 @@ lanes):
 - Per-chain scalar inputs and outputs are column-packed ``(C, 8)`` /
   ``(C, 16)`` f32 arrays (one buffer each instead of a dozen padded
   ones).
-- Randomness comes from the on-core PRNG (``pltpu.prng_random_bits``),
-  seeded per (draw, chain-block). Draws are deterministic given the
-  seed but are a different stream from the XLA path's threefry — the
-  two paths are statistically, not bitwise, identical.
+- Randomness is pluggable: the on-core PRNG (``pltpu.prng_random_bits``,
+  seeded per (draw, chain-block)) on TPU, or a murmur3 counter stream in
+  plain XLA ops under ``interpret=True`` (CPU CI). Either way draws are
+  deterministic given the seed but are a different stream from the XLA
+  path's threefry — the paths are statistically, not bitwise, identical.
 
 Semantics replayed from the reference (littlemcmc ``nuts.py``): the
 multinomial proposal swaps (``nuts.py:321-323, 404-407``), the 3-way
@@ -75,7 +76,7 @@ _N_OUT = 16
 # columns in the f32 scalar scratch
 _S_CE, _S_CLP, _S_PRE, _S_PRLP = range(4)
 # columns in the i32 scalar scratch
-_M_BLD, _M_MRG, _M_SDV, _M_STN = range(4)
+_M_BLD, _M_MRG, _M_SDV, _M_STN, _M_RNG = range(5)
 
 
 
@@ -131,8 +132,24 @@ def _uniform(shape):
     return (bits24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
 
 
+def _fmix32(x):
+    """murmur3 32-bit finalizer on uint32 arrays (plain XLA ops).
+
+    Drives the pluggable *counter* PRNG (``prng="counter"``) that serves
+    interpret mode: ``pltpu.prng_seed`` has no CPU lowering, so CPU CI
+    runs the kernel's merge/U-turn/packing logic with this stream
+    instead. Statistically equivalent, not bitwise.
+    """
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
 def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
-                       metric="diag"):
+                       metric="diag", prng="tpu"):
     b_coef, a_coef = coeffs
     neg_inf = float("-inf")
 
@@ -146,7 +163,8 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
         # block id folded into the first word (prng_seed takes at most
         # two values): 32 bits alone would birthday-collide within ~77k
         # draws, replaying identical direction/swap streams.
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919, seed_ref[1])
+        if prng == "tpu":
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919, seed_ref[1])
         consts = tuple(r[:] for r in consts_refs)
         col = lax.broadcasted_iota(jnp.int32, (CB, Npad), 1)
         qmask = col < n
@@ -226,18 +244,41 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
         def set_si(c, v):
             si[:, c:c + 1] = v
 
+        if prng == "tpu":
+            uniform = _uniform
+        else:
+            # Counter PRNG (interpret-mode / CPU CI path): per-lane salt
+            # from (seed words, block id, lane), a shared call counter in
+            # the i32 scratch (zero-initialized above), murmur3-mixed per
+            # call. Plain XLA ops only, so it lowers everywhere.
+            lane = lax.broadcasted_iota(jnp.int32, (CB, 1), 0)
+            base = seed_ref[0] + pl.program_id(0) * 7919
+            salt = _fmix32(
+                (base + lane * 101027).astype(jnp.uint32)
+                ^ (jnp.asarray(seed_ref[1]).astype(jnp.uint32)
+                   * jnp.uint32(0x9E3779B9))
+            )
+
+            def uniform(shape):
+                del shape  # every consumer draws (CB, 1)
+                c = sic(_M_RNG) + 1
+                set_si(_M_RNG, c)
+                x = _fmix32(salt ^ (c.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)))
+                return ((x >> jnp.uint32(8)).astype(jnp.float32) + 0.5) * (
+                    1.0 / (1 << 24))
+
         def rowdot(a, bb):
             return jnp.sum(a * bb, axis=1, keepdims=True)
 
         def logbern(log_p):
             # NaN log_p yields False (reference math.py:21-25 raises; we mask)
-            return jnp.log(_uniform((CB, 1))) < log_p
+            return jnp.log(uniform((CB, 1))) < log_p
 
         def outer_body(carry):
             depth, _ = carry
             active = ((soc(_O_DIV) == 0) & (soc(_O_TURN) == 0)
                       & (soc(_O_DEPTH) < mdc_v))
-            go_right = _uniform((CB, 1)) < 0.5
+            go_right = uniform((CB, 1)) < 0.5
             epss = jnp.where(go_right, eps_v, -eps_v)
             c_q[:] = jnp.where(go_right, r_q[:], l_q[:])
             c_p[:] = jnp.where(go_right, r_p[:], l_p[:])
@@ -455,6 +496,7 @@ def build_trajectory_op(
     interpret: bool = False,
     vmem_limit_bytes: int = 64 * 1024 * 1024,
     metric: str = "diag",
+    prng: str | None = None,
 ):
     """Build ``traj(q, p, grad, logp, eps, max_depth_c, var, seed)``.
 
@@ -469,7 +511,15 @@ def build_trajectory_op(
     inverse-mass diagonal) or ``"dense"`` (``var`` is one ``(n, n)``
     covariance shared by all chains; velocities become matmuls in the
     kernel).
+
+    ``prng``: ``"tpu"`` (on-core ``pltpu.prng_*``, TPU only) or
+    ``"counter"`` (murmur3 counter stream in plain XLA ops — the only
+    source that lowers under ``interpret=True``, so CPU CI can exercise
+    the kernel's merge/U-turn/packing logic). Default: ``"counter"``
+    when ``interpret`` else ``"tpu"``.
     """
+    if prng is None:
+        prng = "counter" if interpret else "tpu"
     coeffs = INTEGRATOR_COEFFS[integrator]
     Npad = padded_dim(n)
     D = max_treedepth
@@ -548,7 +598,7 @@ def build_trajectory_op(
 
         kernel = _build_kernel_body(
             model_fn, n_consts, n, Npad, CB, D, float(Emax), coeffs,
-            metric=metric,
+            metric=metric, prng=prng,
         )
         outs = pl.pallas_call(
             kernel,

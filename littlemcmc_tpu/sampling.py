@@ -120,6 +120,7 @@ class NUTS(_StepSpec):
         integrator: str = "leapfrog",
         batched_logp_dlogp_func=None,
         pallas_trajectory=None,
+        pallas_interpret: bool = False,
     ):
         super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
         del path_length  # accepted for constructor parity; NUTS does not use it
@@ -131,6 +132,10 @@ class NUTS(_StepSpec):
         # stack, inlined model). Metrics: diagonal, static shared dense,
         # or cross-chain pooled adaptive dense.
         self.pallas_trajectory = pallas_trajectory
+        # Interpret-mode trajectory kernel (CPU CI): runs the same kernel
+        # body through the Pallas interpreter with a counter PRNG instead
+        # of the on-core one. Statistically equivalent, much slower.
+        self.pallas_interpret = bool(pallas_interpret)
         self.config = NUTSConfig(
             target_accept=float(target_accept),
             Emax=float(Emax),
@@ -150,6 +155,7 @@ class NUTS(_StepSpec):
         return build_nuts_kernel(
             logp_grad_fn, self.config, self.batched_logp_dlogp_func,
             self.pallas_trajectory, mesh, chain_axis, pooled_metric,
+            trajectory_interpret=self.pallas_interpret,
         )
 
 

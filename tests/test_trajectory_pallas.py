@@ -1,9 +1,12 @@
 """Tests for the whole-trajectory Pallas NUTS kernel.
 
-The kernel itself only runs on real TPU hardware (``pltpu.prng_seed`` has
-no CPU interpret-mode lowering), so the statistical-parity tests are
-TPU-gated and the CPU CI covers the plumbing: spec construction, kernel
-wiring, and the diagonal-metric requirement.
+The on-core PRNG (``pltpu.prng_seed``) has no CPU lowering, but the
+kernel's randomness source is pluggable: under ``interpret=True`` it
+uses a murmur3 counter stream in plain XLA ops, so CPU CI exercises the
+full merge/U-turn/packing logic (the ``test_interpret_*`` tests below),
+including under the 8-device mesh ``shard_map``. The TPU-gated tests
+re-validate the same logic with the on-core PRNG on real hardware
+(``make test-tpu``).
 
 Statistical parity vs the XLA tree (validated on TPU v5e, 4096 chains x
 20 draws at fixed step/metric on the 100-d correlated Gaussian):
@@ -23,7 +26,7 @@ from littlemcmc_tpu.ops.nuts_trajectory_pallas import padded_dim
 
 requires_tpu = pytest.mark.skipif(
     jax.default_backend() != "tpu",
-    reason="Pallas trajectory kernel needs TPU (no interpret-mode prng)",
+    reason="on-core PRNG path needs real TPU (CPU runs the interpret tests)",
 )
 
 
@@ -54,6 +57,113 @@ def test_rejects_adaptive_dense_metric():
         lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=8,
                    draws=4, tune=4, chains=8, random_seed=0, step=step,
                    progressbar=False)
+
+
+def _stationary_trajectory_inputs(model, C, seed=0, eps=0.4):
+    """(q, p, grad, logp, eps, var) drawn from the stationary phase-space
+    distribution of ``model`` with a unit diagonal metric."""
+    kq, kp = jax.random.split(jax.random.key(seed))
+    q = jax.random.normal(kq, (C, model.ndim), jnp.float32)
+    lp = jax.vmap(model.logp)(q)
+    g = jax.vmap(lambda x: model.logp_grad(x)[1])(q)
+    p = jax.random.normal(kp, (C, model.ndim), jnp.float32)
+    var = jnp.ones((C, model.ndim), jnp.float32)
+    return q, p, g, lp, jnp.full((C,), eps, jnp.float32), var
+
+
+def test_interpret_trajectory_parity_vs_xla_tree():
+    """CPU parity: the interpret-mode kernel (counter PRNG) must match the
+    XLA tree statistically on a full trajectory from stationarity —
+    proposal moments, depth, leaf count, and acceptance exercise the
+    merge/U-turn/packing logic end to end."""
+    from littlemcmc_tpu.base import NUTSConfig
+    from littlemcmc_tpu.math import log1mexp
+    from littlemcmc_tpu.nuts import PhaseState, run_nuts_tree
+    from littlemcmc_tpu.ops import build_trajectory_op
+
+    N, C, MD = 4, 1024, 6
+    model = models.StandardNormal(N)
+    traj = build_trajectory_op(model.pallas_trajectory_spec(), N, MD, 1000.0,
+                               interpret=True)
+    q, p, g, lp, eps, var = _stationary_trajectory_inputs(model, C)
+    mdc = jnp.full((C,), MD, jnp.int32)
+    out = jax.tree.map(np.asarray, traj(q, p, g, lp, eps, mdc, var, jnp.int32(3)))
+
+    pots = jax.vmap(lambda _: lmc.QuadPotentialDiag.create(
+        jnp.ones(N, jnp.float32)))(jnp.arange(C))
+    start = PhaseState(q, p, g, 0.5 * jnp.sum(p * p, axis=1) - lp, lp)
+    keys = jax.random.split(jax.random.key(7), C)
+    res = jax.tree.map(np.asarray, run_nuts_tree(
+        keys, start, eps, mdc, pots, jax.vmap(model.logp_grad),
+        NUTSConfig(max_treedepth=MD)))
+
+    ls = jnp.asarray(out["log_size"])
+    mta = np.where(out["log_size"] > 0,
+                   np.exp(out["log_weighted_accept_sum"]
+                          - (out["log_size"] + np.asarray(log1mexp(ls)))), 0.0)
+    # stationarity: both proposals are exactly N(0, 1) marginally
+    assert abs(out["q"].mean()) < 0.1 and abs(res.prop_q.mean()) < 0.1
+    np.testing.assert_allclose(out["q"].var(), res.prop_q.var(), rtol=0.15)
+    # engine-vs-engine statistics (measured: depth 3.22 vs 3.20,
+    # accept 0.9782 vs 0.9781, leaves 8.93 vs 8.81 at this seed)
+    np.testing.assert_allclose(out["depth"].mean(), res.depth.mean(), rtol=0.1)
+    np.testing.assert_allclose(mta.mean(), res.mean_tree_accept.mean(), atol=0.03)
+    np.testing.assert_allclose(out["n_leaves"].mean(), res.n_proposals.mean(),
+                               rtol=0.1)
+    assert out["diverging"].mean() == res.diverging.mean() == 0.0
+
+
+def test_interpret_trajectory_deterministic_given_seed():
+    from littlemcmc_tpu.ops import build_trajectory_op
+
+    N, C, MD = 3, 64, 5
+    model = models.StandardNormal(N)
+    traj = build_trajectory_op(model.pallas_trajectory_spec(), N, MD, 1000.0,
+                               interpret=True)
+    q, p, g, lp, eps, var = _stationary_trajectory_inputs(model, C, seed=2)
+    mdc = jnp.full((C,), MD, jnp.int32)
+    a = jax.tree.map(np.asarray, traj(q, p, g, lp, eps, mdc, var, jnp.int32(11)))
+    b = jax.tree.map(np.asarray, traj(q, p, g, lp, eps, mdc, var, jnp.int32(11)))
+    c = jax.tree.map(np.asarray, traj(q, p, g, lp, eps, mdc, var, jnp.int32(12)))
+    np.testing.assert_array_equal(a["q"], b["q"])
+    np.testing.assert_array_equal(a["depth"], b["depth"])
+    assert not np.array_equal(a["q"], c["q"])  # seed actually feeds the stream
+
+
+def test_interpret_e2e_sample():
+    """Full sample() through the interpret-mode trajectory kernel."""
+    model = models.StandardNormal(4)
+    step = lmc.NUTS(model_ndim=4,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    trace, stats = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4,
+                              draws=300, tune=150, chains=16, random_seed=5,
+                              step=step, progressbar=False)
+    tr = np.asarray(trace)
+    assert abs(tr.mean()) < 0.1
+    assert 0.85 < tr.var() < 1.15
+    assert 0.6 < np.asarray(stats["mean_tree_accept"])[:, -100:].mean() < 0.95
+    assert np.asarray(stats["diverging"]).mean() < 0.01
+
+
+def test_interpret_composes_with_mesh():
+    """Interpret-mode kernel under shard_map over the 8-device CPU mesh."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU backend")
+    model = models.StandardNormal(4)
+    step = lmc.NUTS(model_ndim=4,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    trace, stats = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4,
+                              draws=200, tune=100, chains=64, random_seed=6,
+                              step=step, mesh=mesh, progressbar=False)
+    tr = np.asarray(trace)
+    assert abs(tr.mean()) < 0.1
+    assert 0.85 < tr.var() < 1.15
+    assert 0.6 < np.asarray(stats["mean_tree_accept"])[:, -100:].mean() < 0.95
 
 
 @requires_tpu
