@@ -40,6 +40,7 @@ from .base import NUTSConfig, HMCConfig, ChainState, init_chain_state
 from .nuts import build_nuts_kernel, NUTSInfo
 from .hmc import build_hmc_kernel, HMCInfo
 from .model import as_logp_grad, from_logp_fn, from_numpy_callable, from_torch_callable
+from .ops import make_pallas_model_spec, PallasModelSpec
 from .report import SamplerWarning, WarningType, warnings_from_stats
 from .exceptions import SamplingError, IntegrationError, ParallelSamplingError
 from . import models
@@ -73,6 +74,8 @@ __all__ = [
     "from_logp_fn",
     "from_numpy_callable",
     "from_torch_callable",
+    "make_pallas_model_spec",
+    "PallasModelSpec",
     "SamplerWarning",
     "WarningType",
     "warnings_from_stats",

@@ -14,7 +14,15 @@ path for models expressible in Pallas (see
 ``build_nuts_kernel(..., trajectory_spec=...)``).
 """
 
+from .autospec import make_pallas_model_spec, mosaic_friendly_calls, probe_spec
 from .gaussian_pallas import quadform_logp_grad
 from .nuts_trajectory_pallas import PallasModelSpec, build_trajectory_op
 
-__all__ = ["quadform_logp_grad", "PallasModelSpec", "build_trajectory_op"]
+__all__ = [
+    "quadform_logp_grad",
+    "PallasModelSpec",
+    "build_trajectory_op",
+    "make_pallas_model_spec",
+    "probe_spec",
+    "mosaic_friendly_calls",
+]

@@ -1,0 +1,369 @@
+"""Auto-lowering of arbitrary JAX models into the Pallas trajectory kernel.
+
+The reference's whole premise is "bring your own logp"
+(``/root/reference/docs/tutorials/quickstart.rst:37-49``): the user hands
+``sample()`` a callable and the library supplies the sampler. The
+whole-trajectory Pallas kernel (:mod:`.nuts_trajectory_pallas`) inlines
+the model into the kernel body, which round 1 only wired up for the
+built-in model zoo (hand-written padded-width model fns). This module
+closes that gap: :func:`make_pallas_model_spec` turns *any* traceable
+JAX ``logp_dlogp_func`` / ``logp_fn`` into a
+:class:`~.nuts_trajectory_pallas.PallasModelSpec`, and
+:func:`probe_spec` compile-checks the model body through Mosaic in well
+under a second so ``sample()`` can fall back to the XLA tree (with a log
+line) when the model contains something Mosaic cannot lower.
+
+How it works:
+
+1. The per-chain function is traced once with ``jax.make_jaxpr`` at
+   shape ``(ndim,)``. Closure-captured arrays (data matrices, observed
+   vectors, hyperparameters) surface as jaxpr *consts* — Pallas kernels
+   cannot close over traced arrays ("captures constants" error), so the
+   consts are extracted here and become VMEM-resident kernel inputs via
+   the spec's ``consts`` mechanism. 0-d/1-d consts are reshaped to 2-d
+   (Mosaic vectors are sublane x lane) and restored inside the kernel.
+2. Inside the kernel the jaxpr is replayed under ``jax.vmap`` over the
+   chain-block rows of the padded state: per-sample rank-1 intermediates
+   become rank-2 batched ops, which is exactly what Mosaic wants.
+3. Tracing happens under :func:`mosaic_friendly_calls`: a few jax.nn /
+   jnp functions (``log_sigmoid``, ``softplus``, ``logaddexp``) carry
+   ``custom_jvp`` residual computations whose transposed/select-heavy
+   VJPs crash the Mosaic compiler (measured on v5e, jax 0.9); they are
+   swapped for algebraically identical numerically-stable forms whose
+   VJPs lower cleanly.
+
+4. The batched jaxpr is replayed inside the kernel through a small
+   rewriting interpreter (:func:`_replay`) that fixes two measured
+   Mosaic crashes (v5e, jax 0.9): ``transpose`` of boolean arrays
+   (``vmap`` inserts them to reconcile batch dims around ``select_n``;
+   rewritten to an f32 transpose plus a compare) and rank-1
+   ``dot_general`` with ``([0], [0])`` contractions (produced by
+   input-independent cotangents; the emitted
+   ``#tpu.dot_dimension_numbers`` attribute fails to parse — rewritten
+   to a rank-2 NN matmul plus reshape).
+
+Not every model lowers (e.g. host callbacks via
+:func:`littlemcmc_tpu.model.from_numpy_callable` or
+gather/scatter-heavy code). That is what the probe is for: lowering is
+attempted against the real backend on a tiny block and any failure
+selects the XLA tree instead.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import logging
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .nuts_trajectory_pallas import PallasModelSpec, padded_dim
+
+__all__ = ["make_pallas_model_spec", "probe_spec", "mosaic_friendly_calls"]
+
+_log = logging.getLogger("littlemcmc_tpu")
+
+from jax.core import eval_jaxpr as _eval_jaxpr
+from jax.extend.core import Literal as _Literal
+
+# Call-like primitives whose inner jaxpr the rewriting interpreter must
+# recurse into (a bool transpose hiding inside a pjit would otherwise
+# reach Mosaic unrewritten).
+_CALL_PRIMS = ("pjit", "jit", "closed_call", "core_call", "custom_jvp_call",
+               "custom_vjp_call", "custom_vjp_call_jaxpr", "remat", "checkpoint")
+
+
+def _inner_closed_jaxpr(eqn):
+    for key in ("jaxpr", "call_jaxpr"):
+        inner = eqn.params.get(key)
+        if inner is not None:
+            return inner
+    return None
+
+
+def _safe_dot_general(a, b, *, dimension_numbers, **params):
+    """dot_general with the rank-1 ([0],[0]) contraction rewritten.
+
+    Mosaic (v5e, jax 0.9) fails to parse the ``#tpu.dot_dimension_numbers``
+    attribute it emits for a rank-1 lhs contracted on dim 0 (seen for
+    cotangents that do not depend on the batched input, e.g. the grad of
+    ``sum(X @ b)``). Promote to a rank-2 NN matmul and squeeze.
+
+    The user's own ``precision`` setting is preserved (the XLA tree path
+    evaluates the same function with the same setting, so the two paths
+    sample the same density). Models sensitive to bf16 MXU inputs should
+    request ``precision="highest"`` in their own dots — see NOTES.md on
+    the measured 7% variance bias.
+    """
+    import jax.lax as lax
+
+    (lc, rc), (lb, rb) = dimension_numbers
+    if a.ndim == 1 and not lb and tuple(lc) == (0,):
+        out = lax.dot_general(
+            a.reshape(1, a.shape[0]), b,
+            dimension_numbers=(((1,), tuple(rc)), ((), ())), **params)
+        return out.reshape(out.shape[1:])
+    if b.ndim == 1 and not rb and tuple(rc) == (0,):
+        out = lax.dot_general(
+            a, b.reshape(b.shape[0], 1),
+            dimension_numbers=((tuple(lc), (0,)), ((), ())), **params)
+        return out.reshape(out.shape[:-1])
+    return lax.dot_general(a, b, dimension_numbers=dimension_numbers, **params)
+
+
+def _replay(jaxpr, consts, *args):
+    """Replay a jaxpr with Mosaic-friendly rewrites of known-bad eqns."""
+    import jax.lax as lax
+
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, _Literal) else env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        name = eqn.primitive.name
+        inner = _inner_closed_jaxpr(eqn) if name in _CALL_PRIMS else None
+        if inner is not None:
+            n_explicit = len(inner.jaxpr.invars)
+            outs = _replay(inner.jaxpr, inner.consts, *invals[:n_explicit])
+        elif name == "transpose" and invals[0].dtype == jnp.bool_:
+            ft = lax.transpose(invals[0].astype(jnp.float32),
+                               eqn.params["permutation"])
+            outs = [ft > 0.5]
+        elif name == "dot_general":
+            outs = [_safe_dot_general(invals[0], invals[1], **eqn.params)]
+        else:
+            outs = eqn.primitive.bind(*invals, **eqn.params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        for v, o in zip(eqn.outvars, outs):
+            env[v] = o
+    return [read(v) for v in jaxpr.outvars]
+
+
+def _stable_log_sigmoid(x):
+    # log sigmoid(x) = min(x, 0) - log1p(exp(-|x|)); VJP is plain
+    # exp/select ops that Mosaic lowers (jax.nn.log_sigmoid's custom_jvp
+    # residuals do not).
+    return jnp.minimum(x, 0.0) - jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def _stable_softplus(x):
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def _stable_logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    return m + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+
+
+@contextlib.contextmanager
+def mosaic_friendly_calls():
+    """Swap custom-JVP jax.nn/jnp functions for Mosaic-lowerable forms.
+
+    Active only while tracing (the swapped functions produce identical
+    values; only the autodiff *implementation* differs). Used by
+    :func:`make_pallas_model_spec`; public so hand-written specs can
+    reuse it.
+    """
+    patches = [
+        (jax.nn, "log_sigmoid", _stable_log_sigmoid),
+        (jax.nn, "softplus", _stable_softplus),
+        (jnp, "logaddexp", _stable_logaddexp),
+    ]
+    saved = [(mod, name, getattr(mod, name)) for mod, name, _ in patches]
+    try:
+        for mod, name, repl in patches:
+            setattr(mod, name, repl)
+        yield
+    finally:
+        for mod, name, orig in saved:
+            setattr(mod, name, orig)
+
+
+def _const_to_2d(c: jax.Array) -> jax.Array:
+    c = jnp.asarray(c)
+    if c.ndim == 0:
+        return c.reshape(1, 1)
+    if c.ndim == 1:
+        return c.reshape(1, c.shape[0])
+    return c
+
+
+def make_pallas_model_spec(
+    logp_dlogp_func: Optional[Callable] = None,
+    ndim: Optional[int] = None,
+    *,
+    logp_fn: Optional[Callable] = None,
+    dtype=jnp.float32,
+) -> PallasModelSpec:
+    """Build a :class:`PallasModelSpec` from an arbitrary JAX model.
+
+    Parameters mirror the ``sample()`` model contract (reference
+    ``sampling.py:35-53``): give either ``logp_dlogp_func(q) -> (logp,
+    grad)`` or a scalar ``logp_fn(q)`` (differentiated with
+    ``jax.value_and_grad``), plus ``ndim``. The function must be
+    traceable pure JAX (host callbacks cannot be inlined into a TPU
+    kernel — :func:`probe_spec` will reject them).
+
+    The returned spec is *unprobed*: pass it through :func:`probe_spec`
+    (or let ``sample()`` do it) before relying on it, since not every
+    model body survives Mosaic lowering.
+    """
+    if (logp_dlogp_func is None) == (logp_fn is None):
+        raise ValueError("provide exactly one of logp_dlogp_func / logp_fn")
+    if ndim is None:
+        raise ValueError("ndim is required")
+    ndim = int(ndim)
+    fn0 = logp_dlogp_func if logp_dlogp_func is not None else jax.value_and_grad(logp_fn)
+
+    with mosaic_friendly_calls():
+        closed = jax.make_jaxpr(fn0)(jax.ShapeDtypeStruct((ndim,), dtype))
+    out_avals = closed.out_avals
+    if (
+        len(out_avals) != 2
+        or out_avals[0].shape != ()
+        or out_avals[1].shape != (ndim,)
+    ):
+        raise ValueError(
+            "logp_dlogp_func must map (ndim,) -> (scalar logp, (ndim,) grad); "
+            f"traced output shapes were {[a.shape for a in out_avals]}"
+        )
+    const_shapes = [np.shape(c) for c in closed.consts]
+    const_dtypes = [jnp.asarray(c).dtype for c in closed.consts]
+    consts2d = tuple(_const_to_2d(c) for c in closed.consts)
+    jaxpr = closed.jaxpr
+    npad = padded_dim(ndim)
+
+    # Consts become explicit args of the batched jaxpr (traced per chain
+    # block below), so the batched trace captures nothing.
+    def f_pure(q, *cs):
+        return _eval_jaxpr(jaxpr, cs, q)
+
+    batched_cache: dict = {}
+
+    def _batched_jaxpr(cb: int):
+        if cb not in batched_cache:
+            closed_b = jax.make_jaxpr(
+                jax.vmap(f_pure, in_axes=(0,) + (None,) * len(const_shapes))
+            )(
+                jax.ShapeDtypeStruct((cb, ndim), dtype),
+                *[jax.ShapeDtypeStruct(s, d)
+                  for s, d in zip(const_shapes, const_dtypes)],
+            )
+            batched_cache[cb] = closed_b
+        return batched_cache[cb]
+
+    def fn(q_pad, *cs2d):
+        cs = [c.reshape(s) for c, s in zip(cs2d, const_shapes)]
+        closed_b = _batched_jaxpr(q_pad.shape[0])
+        lp, g = _replay(closed_b.jaxpr, closed_b.consts,
+                        q_pad[:, :ndim], *cs)
+        # widen the gradient back to the kernel's padded lane width; the
+        # kernel masks the padding columns, so zeros are just convention
+        return lp[:, None], jnp.pad(g, ((0, 0), (0, npad - ndim)))
+
+    return PallasModelSpec(fn, consts2d, ndim)
+
+
+def probe_spec(spec: PallasModelSpec, chain_block: int = 8) -> bool:
+    """Compile-and-run the spec's model body through Mosaic; True iff ok.
+
+    Wraps ``spec.fn`` in a minimal ``pallas_call`` (no trajectory
+    machinery — that part is known-good) on the default backend and
+    checks the computed ``(logp, grad)`` against a plain-XLA replay of
+    the same function on random inputs. Runs in ~0.5 s on TPU; any
+    Mosaic lowering error, compile crash, or numerical mismatch returns
+    False (callers fall back to the XLA tree).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = spec.ndim
+    npad = padded_dim(n)
+    cb = int(chain_block)
+    consts = spec.consts
+
+    def kernel(q_ref, *rest):
+        const_refs = rest[: len(consts)]
+        lp_ref, g_ref = rest[len(consts):]
+        cs = tuple(r[:] for r in const_refs)
+        lp, g = spec.fn(q_ref[:], *cs)
+        lp_ref[:] = jnp.broadcast_to(lp, (cb, npad))
+        g_ref[:] = g
+
+    q = np.zeros((cb, npad), np.float32)
+    q[:, :n] = 0.1 * np.random.RandomState(0).randn(cb, n)
+    qd = jnp.asarray(q)
+    try:
+        lp, g = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(consts)),
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((cb, npad), jnp.float32)] * 2,
+        )(qd, *consts)
+        lp_ref, g_ref = jax.jit(spec.fn)(qd, *consts)
+        lp, g, lp_ref, g_ref = jax.device_get((lp, g, lp_ref, g_ref))
+    except Exception as e:  # Mosaic lowering/compile errors are varied
+        _log.info("Pallas model probe failed (%s); using the XLA tree.",
+                  type(e).__name__)
+        _log.debug("Pallas model probe failure detail: %s", e)
+        return False
+    # Tolerances allow for Mosaic-vs-XLA default matmul precision
+    # differences (~1e-3 relative on f32 inputs); logic errors are gross.
+    if not (
+        np.allclose(lp[:, :1], lp_ref[:, :1], rtol=5e-3, atol=1e-3)
+        and np.allclose(g[:, :n], g_ref[:, :n], rtol=5e-3, atol=1e-3)
+    ):
+        _log.warning(
+            "Pallas model probe produced values diverging from the XLA "
+            "evaluation; using the XLA tree."
+        )
+        return False
+    return True
+
+
+# sample()'s auto-selection cache: one probe per (model callable, ndim).
+@functools.lru_cache(maxsize=64)
+def _cached_auto_spec(user_fn, ndim: int, is_logp_only: bool):
+    try:
+        if is_logp_only:
+            spec = make_pallas_model_spec(ndim=ndim, logp_fn=user_fn)
+        else:
+            spec = make_pallas_model_spec(user_fn, ndim)
+    except Exception as e:
+        _log.info("Model not auto-lowerable to the Pallas trajectory kernel "
+                  "(%s); using the XLA tree.", type(e).__name__)
+        _log.debug("Auto-lowering failure detail: %s", e)
+        return None
+    return spec if probe_spec(spec) else None
+
+
+def try_auto_spec(user_fn, ndim: int, is_logp_only: bool = False):
+    """Best-effort auto-lowered spec for ``sample()``; None on any failure.
+
+    Memoized on the user callable so repeated ``sample()`` calls reuse
+    the traced jaxpr and the probe verdict. Unhashable callables are
+    probed once per call (no cache) rather than rejected.
+    """
+    try:
+        return _cached_auto_spec(user_fn, int(ndim), bool(is_logp_only))
+    except TypeError:  # unhashable callable
+        try:
+            if is_logp_only:
+                spec = make_pallas_model_spec(ndim=ndim, logp_fn=user_fn)
+            else:
+                spec = make_pallas_model_spec(user_fn, ndim)
+        except Exception:
+            return None
+        return spec if probe_spec(spec) else None

@@ -632,6 +632,25 @@ def sample(
                     "(pass pallas_trajectory=None to disable).",
                     type(owner).__name__,
                 )
+            else:
+                # Arbitrary user model: attempt auto-lowering into the
+                # trajectory kernel (trace -> extract consts -> Mosaic
+                # probe); any failure falls back to the XLA tree with an
+                # info log. This honors the reference's "bring your own
+                # logp" contract (quickstart.rst:37-49) on the fast path.
+                from .ops.autospec import try_auto_spec
+
+                user_fn = logp_dlogp_func if logp_dlogp_func is not None else logp_fn
+                spec = try_auto_spec(
+                    user_fn, model_ndim, is_logp_only=logp_dlogp_func is None
+                )
+                if spec is not None:
+                    kwargs["pallas_trajectory"] = spec
+                    _log.info(
+                        "Auto-lowered the model into the whole-trajectory "
+                        "Pallas kernel (pass pallas_trajectory=None to "
+                        "disable)."
+                    )
         step = NUTS(model_ndim=model_ndim, **kwargs)
 
     # --- Per-chain starting points --------------------------------------

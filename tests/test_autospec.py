@@ -1,0 +1,161 @@
+"""Tests for auto-lowering arbitrary JAX models into the Pallas kernel.
+
+CPU CI drives the auto-built specs through the interpret-mode trajectory
+kernel; the Mosaic-probe path itself is exercised on the real chip
+(``make test-tpu`` / the TPU-gated test at the bottom).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import littlemcmc_tpu as lmc
+from littlemcmc_tpu.ops import make_pallas_model_spec, mosaic_friendly_calls
+from littlemcmc_tpu.ops.autospec import _replay
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="Mosaic probe needs a real TPU backend",
+)
+
+
+def _logistic_model(n=5, N=40, seed=0):
+    rng = np.random.RandomState(seed)
+    X = jnp.asarray(rng.randn(N, n), jnp.float32)
+    y = jnp.asarray((rng.rand(N) > 0.5), jnp.float32)
+
+    def logp_fn(beta):
+        z = X @ beta
+        return (jnp.sum(y * jax.nn.log_sigmoid(z)
+                        + (1 - y) * jax.nn.log_sigmoid(-z))
+                - 0.5 * jnp.sum(beta ** 2))
+
+    return logp_fn
+
+
+def test_spec_factory_extracts_closure_consts():
+    logp_fn = _logistic_model()
+    spec = make_pallas_model_spec(ndim=5, logp_fn=logp_fn)
+    assert spec.ndim == 5
+    # X (40, 5) stays 2-d; y (40,) is 2-d-ified for VMEM
+    shapes = sorted(np.shape(c) for c in spec.consts)
+    assert shapes == [(1, 40), (40, 5)]
+
+
+def test_spec_factory_validates_signature():
+    with pytest.raises(ValueError, match="exactly one"):
+        make_pallas_model_spec(lambda q: q, 3, logp_fn=lambda q: 0.0)
+    with pytest.raises(ValueError, match="ndim is required"):
+        make_pallas_model_spec(logp_fn=lambda q: jnp.sum(q))
+    with pytest.raises(ValueError, match="scalar logp"):
+        # returns (vector, vector): not a logp_dlogp contract
+        make_pallas_model_spec(lambda q: (q, q), 3)
+
+
+def test_spec_fn_matches_direct_evaluation():
+    """The padded-width spec fn reproduces vmap(value_and_grad(f))."""
+    logp_fn = _logistic_model()
+    spec = make_pallas_model_spec(ndim=5, logp_fn=logp_fn)
+    from littlemcmc_tpu.ops.nuts_trajectory_pallas import padded_dim
+
+    npad = padded_dim(5)
+    q = np.zeros((8, npad), np.float32)
+    q[:, :5] = np.random.RandomState(1).randn(8, 5)
+    lp, g = jax.jit(spec.fn)(jnp.asarray(q), *spec.consts)
+    lp_ref, g_ref = jax.vmap(jax.value_and_grad(logp_fn))(jnp.asarray(q[:, :5]))
+    np.testing.assert_allclose(np.asarray(lp[:, 0]), np.asarray(lp_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g[:, :5]), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_replay_rewrites_preserve_values():
+    """The rewriting interpreter (bool-transpose and rank-1 TN dot fixes)
+    is value-preserving on jaxprs that trigger both rewrites."""
+    X = jnp.asarray(np.random.RandomState(0).randn(30, 4), jnp.float32)
+
+    def f(Q):  # batched: vmap inserts bool transposes around select_n
+        vg = jax.vmap(jax.value_and_grad(
+            lambda b: jnp.sum(jnp.minimum(X @ b, 0.0)) + jnp.sum(X @ b)))
+        return vg(Q)
+
+    Q = jnp.asarray(np.random.RandomState(2).randn(8, 4), jnp.float32)
+    closed = jax.make_jaxpr(f)(Q)
+    prims = {e.primitive.name for e in closed.jaxpr.eqns}
+    assert "transpose" in prims  # the rewrite target is actually present
+    lp, g = _replay(closed.jaxpr, closed.consts, Q)
+    lp_ref, g_ref = f(Q)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_mosaic_friendly_substitutes_match_jax_nn():
+    x = jnp.asarray([-30.0, -3.0, -0.5, 0.0, 0.5, 3.0, 30.0], jnp.float32)
+    with mosaic_friendly_calls():
+        ls = jax.nn.log_sigmoid(x)
+        sp = jax.nn.softplus(x)
+        la = jnp.logaddexp(x, 0.3 * x)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(jax.nn.log_sigmoid(x)),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(jax.nn.softplus(x)),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(jnp.logaddexp(x, 0.3 * x)),
+                               rtol=1e-6, atol=1e-7)
+    # the context restores the originals
+    assert jax.nn.log_sigmoid.__module__.startswith("jax")
+
+
+def test_autospec_interpret_e2e_posterior_parity():
+    """A non-zoo user model sampled through the auto-built spec in the
+    interpret-mode trajectory kernel matches the XLA tree's posterior."""
+    logp_fn = _logistic_model(n=4, N=60, seed=3)
+    spec = make_pallas_model_spec(ndim=4, logp_fn=logp_fn)
+    step = lmc.NUTS(model_ndim=4, pallas_trajectory=spec, pallas_interpret=True)
+    tr_p, st_p = lmc.sample(logp_fn=logp_fn, model_ndim=4, chains=16,
+                            tune=200, draws=400, random_seed=8, step=step,
+                            progressbar=False)
+    tr_x, _ = lmc.sample(logp_fn=logp_fn, model_ndim=4, chains=16,
+                         tune=200, draws=400, random_seed=8,
+                         progressbar=False)
+    mp = tr_p.reshape(-1, 4).mean(axis=0)
+    mx = tr_x.reshape(-1, 4).mean(axis=0)
+    sp = tr_p.reshape(-1, 4).std(axis=0)
+    sx = tr_x.reshape(-1, 4).std(axis=0)
+    np.testing.assert_allclose(mp, mx, atol=0.1)
+    np.testing.assert_allclose(sp / sx, 1.0, atol=0.2)
+    assert 0.6 < np.asarray(st_p["mean_tree_accept"])[:, -100:].mean() < 0.95
+
+
+@requires_tpu
+def test_probe_accepts_user_model_and_rejects_host_callback():
+    from littlemcmc_tpu.ops import probe_spec
+
+    spec = make_pallas_model_spec(ndim=5, logp_fn=_logistic_model())
+    assert probe_spec(spec)
+
+    # host-callback models cannot be inlined into a TPU kernel
+    def np_logp(x):
+        return float(-0.5 * np.sum(np.asarray(x) ** 2)), -np.asarray(x)
+
+    wrapped = lmc.from_numpy_callable(np_logp, 3)
+    try:
+        bad = make_pallas_model_spec(wrapped, 3)
+    except Exception:
+        return  # rejected at trace time: equally fine
+    assert not probe_spec(bad)
+
+
+@requires_tpu
+def test_sample_auto_selects_pallas_for_user_model(caplog):
+    import logging
+
+    logp_fn = _logistic_model(n=6, N=80, seed=5)
+    with caplog.at_level(logging.INFO, logger="littlemcmc_tpu"):
+        trace, stats = lmc.sample(logp_fn=logp_fn, model_ndim=6, chains=64,
+                                  tune=200, draws=300, random_seed=2,
+                                  progressbar=False)
+    assert any("Auto-lowered" in r.message for r in caplog.records)
+    assert trace.shape == (64, 300, 6)
+    assert 0.6 < np.asarray(stats["mean_tree_accept"])[:, -100:].mean() < 0.95
