@@ -71,7 +71,18 @@ class NealsFunnel:
                 grad = jnp.where(col == 0, dv, -q * e)
                 return logp, grad
 
-            self._traj_spec = PallasModelSpec(fn, (), self.ndim)
+            def packed_fn(q, h):
+                # v sits at within-segment column 0 of each chain segment
+                v = h.segsum(jnp.where(h.colm == 0, q, 0.0))     # (R, K)
+                e = jnp.exp(-v)
+                sq = h.segsum(q * q) - v * v
+                logp = -0.5 * inv_s2 * v * v - 0.5 * n_x * v - 0.5 * sq * e
+                dv = -inv_s2 * v - 0.5 * n_x + 0.5 * sq * e
+                grad = jnp.where(h.colm == 0, h.bc(dv), -q * h.bc(e))
+                return logp, grad
+
+            self._traj_spec = PallasModelSpec(fn, (), self.ndim,
+                                              packed_fn=packed_fn)
         return self._traj_spec
 
 
@@ -122,5 +133,9 @@ class NonCenteredFunnel:
             def fn(q):
                 return -0.5 * jnp.sum(q * q, axis=1, keepdims=True), -q
 
-            self._traj_spec = PallasModelSpec(fn, (), self.ndim)
+            def packed_fn(q, h):
+                return -0.5 * h.segsum(q * q), -q
+
+            self._traj_spec = PallasModelSpec(fn, (), self.ndim,
+                                              packed_fn=packed_fn)
         return self._traj_spec

@@ -46,7 +46,11 @@ class StandardNormal:
             def fn(q):  # padding columns are zero, so the sums are exact
                 return -0.5 * jnp.sum(q * q, axis=1, keepdims=True), -q
 
-            self._traj_spec = PallasModelSpec(fn, (), self.ndim)
+            def packed_fn(q, h):  # per-segment padding is zero too
+                return -0.5 * h.segsum(q * q), -q
+
+            self._traj_spec = PallasModelSpec(fn, (), self.ndim,
+                                              packed_fn=packed_fn)
         return self._traj_spec
 
 

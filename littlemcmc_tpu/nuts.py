@@ -741,16 +741,31 @@ def build_nuts_kernel(
                         "(QuadPotentialFullAdapt with cross_chain_adapt=True)"
                     )
                 metric = "dense"
-            from .ops.nuts_trajectory_pallas import build_trajectory_op
+            from .ops.nuts_trajectory_pallas import (build_trajectory_op,
+                                                     natural_pack)
 
+            # Lane packing: small-n models share 128-lane rows between
+            # K chains (the VPU otherwise idles ~90% of each vector op
+            # at n ~ 10). Requires a packed_fn, a diagonal metric, and a
+            # chain count that still blocks into >= 8 rows.
+            n_model = start.q.shape[-1]
+            # the kernel blocks the per-device chain shard under a mesh
+            C_local = start.q.shape[0] // (mesh.size if mesh is not None else 1)
+            pack = 1
+            if trajectory_spec.packed_fn is not None and metric == "diag":
+                pack = natural_pack(n_model)
+                while pack > 1 and C_local % (8 * pack) != 0:
+                    pack //= 2
             traj_op = build_trajectory_op(
                 trajectory_spec,
-                start.q.shape[-1],
+                n_model,
                 config.max_treedepth,
                 config.Emax,
                 config.integrator,
+                chain_block=256 * pack if pack > 1 else 512,
                 metric=metric,
                 interpret=trajectory_interpret,
+                pack=pack,
             )
             # both 32-bit words of chain 0's fresh per-draw key: 64 bits
             # of per-draw entropy for the kernel's on-core PRNG

@@ -49,7 +49,7 @@ same post-order traversal as the XLA kernel.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -112,12 +112,29 @@ class PallasModelSpec:
     ``consts`` are arrays resident in VMEM for the whole trajectory
     (e.g. a padded precision matrix); every row block sees the full
     arrays. Hash/eq are identity so kernel builders can be memoized.
+
+    Small-n models may additionally provide a *lane-packed* variant
+    (``pack > 1`` in :func:`build_trajectory_op` packs ``K`` chains per
+    128-lane VPU row, each in a ``SEG = 128 // K``-lane segment):
+
+    - ``packed_fn(q, h, *consts) -> (logp, grad)`` with ``q``
+      ``(rows, 128)`` (each row = K chains), ``logp`` ``(rows, K)``
+      (one per segment), ``grad`` ``(rows, 128)``. ``h`` is a helper
+      namespace: ``h.segsum(x)`` per-segment row sums ``-> (rows, K)``,
+      ``h.bc(s)`` broadcast ``(rows, K) -> (rows, 128)``, ``h.colm``
+      within-segment column iota, plus ``h.K``, ``h.SEG``, ``h.n``.
+    - ``packed_consts(K, SEG) -> tuple`` builds the matching VMEM
+      constants (e.g. data rows tiled once per segment).
     """
 
-    def __init__(self, fn: Callable, consts: Tuple[jax.Array, ...], ndim: int):
+    def __init__(self, fn: Callable, consts: Tuple[jax.Array, ...], ndim: int,
+                 packed_fn: Optional[Callable] = None,
+                 packed_consts: Optional[Callable] = None):
         self.fn = fn
         self.consts = tuple(consts)
         self.ndim = int(ndim)
+        self.packed_fn = packed_fn
+        self.packed_consts = packed_consts
 
 
 def _uniform(shape):
@@ -148,10 +165,27 @@ def _fmix32(x):
     return x
 
 
+class _PackHelpers:
+    """Segment helpers handed to lane-packed model fns."""
+
+    def __init__(self, segsum, bc, colm, K, SEG, n, qmask):
+        self.segsum = segsum
+        self.bc = bc
+        self.colm = colm
+        self.K = K
+        self.SEG = SEG
+        self.n = n
+        self.qmask = qmask
+
+
 def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
-                       metric="diag", prng="tpu"):
+                       metric="diag", prng="tpu", pack=1):
     b_coef, a_coef = coeffs
     neg_inf = float("-inf")
+    K = int(pack)           # chains per VPU row
+    RW = CB // K            # physical rows per block
+    SEG = Npad // K         # lanes per chain segment
+    assert CB % K == 0 and Npad % K == 0 and SEG >= n + _N_SCALARS
 
     def kernel(seed_ref, q0, p0, g0, sin, var, *rest):
         consts_refs = rest[:n_consts]
@@ -166,23 +200,84 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
         if prng == "tpu":
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919, seed_ref[1])
         consts = tuple(r[:] for r in consts_refs)
-        col = lax.broadcasted_iota(jnp.int32, (CB, Npad), 1)
-        qmask = col < n
+        col = lax.broadcasted_iota(jnp.int32, (RW, Npad), 1)
+        colm = col % SEG if K > 1 else col  # within-segment column
+        qmask = colm < n
+
+        # --- per-chain scalar <-> lane-row plumbing -----------------------
+        # K = 1: a chain owns its whole row; scalars are (RW, 1) columns
+        # and numpy broadcasting does the rest (the round-1 layout,
+        # unchanged). K > 1: per-chain scalars are (RW, K); segment sums
+        # and broadcasts are MXU dots against iota-built 0/1 indicator
+        # matrices (cheap: (RW, Npad) @ (Npad, K) and back).
+        if K == 1:
+            def segsum(x):
+                return jnp.sum(x, axis=1, keepdims=True)
+
+            def bc(s):
+                return s  # (RW, 1) broadcasts natively
+
+            def bcb(m):
+                return m
+        else:
+            li = lax.broadcasted_iota(jnp.int32, (Npad, K), 0)
+            ji = lax.broadcasted_iota(jnp.int32, (Npad, K), 1)
+            seg_ind_t = (li // SEG == ji).astype(jnp.float32)  # (Npad, K)
+            lj = lax.broadcasted_iota(jnp.int32, (K, Npad), 0)
+            lc = lax.broadcasted_iota(jnp.int32, (K, Npad), 1)
+            seg_ind = (lc // SEG == lj).astype(jnp.float32)    # (K, Npad)
+
+            def segsum(x):
+                return jnp.dot(x, seg_ind_t, preferred_element_type=jnp.float32)
+
+            def bc(s):
+                return jnp.dot(s, seg_ind, preferred_element_type=jnp.float32)
+
+            def bcb(m):
+                return bc(m.astype(jnp.float32)) > 0.5
+
+        helpers = _PackHelpers(segsum, bc, colm, K, SEG, n, qmask)
 
         def model(q):
-            logp, grad = model_fn(q, *consts)
+            if K == 1:
+                logp, grad = model_fn(q, *consts)
+            else:
+                logp, grad = model_fn(q, helpers, *consts)
             return logp, jnp.where(qmask, grad, 0.0)
 
-        def pack(qv, e, lp_, ls, lw):
-            x = jnp.where(qmask, qv, 0.0)
-            x = x + e * (col == n) + lp_ * (col == n + 1)
-            x = x + ls * (col == n + 2) + lw * (col == n + 3)
-            return x
+        if K == 1:
+            def pack_slot(qv, e, lp_, ls, lw):
+                x = jnp.where(qmask, qv, 0.0)
+                x = x + e * (col == n) + lp_ * (col == n + 1)
+                x = x + ls * (col == n + 2) + lw * (col == n + 3)
+                return x
 
-        def unpack(x):
-            qv = jnp.where(qmask, x, 0.0)
-            return (qv, x[:, n:n + 1], x[:, n + 1:n + 2],
-                    x[:, n + 2:n + 3], x[:, n + 3:n + 4])
+            def unpack_slot(x):
+                qv = jnp.where(qmask, x, 0.0)
+                return (qv, x[:, n:n + 1], x[:, n + 1:n + 2],
+                        x[:, n + 2:n + 3], x[:, n + 3:n + 4])
+        else:
+            # one (Npad, 4K) indicator: lane (j*SEG + n + c) <-> scalar
+            # (c, chain j); pack/unpack of all four slot scalars is a
+            # single MXU dot each way
+            ul = lax.broadcasted_iota(jnp.int32, (Npad, 4 * K), 0)
+            um = lax.broadcasted_iota(jnp.int32, (Npad, 4 * K), 1)
+            slot_ind_t = (ul == (um % K) * SEG + n + um // K).astype(
+                jnp.float32)  # (Npad, 4K)
+            sl = lax.broadcasted_iota(jnp.int32, (4 * K, Npad), 0)
+            sc = lax.broadcasted_iota(jnp.int32, (4 * K, Npad), 1)
+            slot_ind = (sc == (sl % K) * SEG + n + sl // K).astype(
+                jnp.float32)  # (4K, Npad)
+
+            def pack_slot(qv, e, lp_, ls, lw):
+                scal = jnp.concatenate([e, lp_, ls, lw], axis=1)  # (RW, 4K)
+                return jnp.where(qmask, qv, 0.0) + jnp.dot(
+                    scal, slot_ind, preferred_element_type=jnp.float32)
+
+            def unpack_slot(x):
+                u = jnp.dot(x, slot_ind_t, preferred_element_type=jnp.float32)
+                return (jnp.where(qmask, x, 0.0), u[:, 0:K], u[:, K:2 * K],
+                        u[:, 2 * K:3 * K], u[:, 3 * K:4 * K])
 
         V = var[:]
         if metric == "diag":
@@ -206,52 +301,58 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
 
         q = q0[:]
         p = p0[:]
-        lp = sin[:, _IN_LOGP:_IN_LOGP + 1]
-        eps_v = sin[:, _IN_EPS:_IN_EPS + 1]
-        mdc_v = sin[:, _IN_MAXDEPTH:_IN_MAXDEPTH + 1]  # f32, small ints
-        E0 = 0.5 * jnp.sum(p * velE(p), axis=1, keepdims=True) - lp
+        # per-chain scalar c lives in columns [c*K, (c+1)*K) of its buffer
+        lp = sin[:, _IN_LOGP * K:(_IN_LOGP + 1) * K]
+        eps_v = sin[:, _IN_EPS * K:(_IN_EPS + 1) * K]
+        mdc_v = sin[:, _IN_MAXDEPTH * K:(_IN_MAXDEPTH + 1) * K]  # f32, small ints
+        E0 = 0.5 * segsum(p * velE(p)) - lp
 
         l_q[:] = q; l_p[:] = p; l_g[:] = g0[:]
         r_q[:] = q; r_p[:] = p; r_g[:] = g0[:]
         pr_q[:] = q
         psum[:] = p
-        ocol = lax.broadcasted_iota(jnp.int32, (CB, _N_OUT), 1)
-        # f32 scalar scratch: c_e, c_lp, pr_e, pr_lp
-        fcol = lax.broadcasted_iota(jnp.int32, (CB, _LANE), 1)
-        sf[:] = (E0 * ((fcol == _S_CE) | (fcol == _S_PRE)).astype(jnp.float32)
-                 + lp * ((fcol == _S_CLP) | (fcol == _S_PRLP)).astype(jnp.float32))
-        si[:] = jnp.zeros((CB, _LANE), jnp.int32)
+        ocol = lax.broadcasted_iota(jnp.int32, (RW, _N_OUT * K), 1)
+        si[:] = jnp.zeros((RW, _LANE), jnp.int32)
         # packed accumulators: ls=0, lw=-inf, mec=0, depth=0, nlv=0, div=0, trn=0
-        so[:] = jnp.where(ocol == _O_LW, neg_inf, 0.0)
+        so[:] = jnp.where(ocol // K == _O_LW, neg_inf, 0.0)
 
         max_sched = jnp.max(mdc_v).astype(jnp.int32)
 
         def sfc(c):
-            return sf[:, c:c + 1]
+            return sf[:, c * K:(c + 1) * K]
 
         def soc(c):
-            return so[:, c:c + 1]
+            return so[:, c * K:(c + 1) * K]
 
         def set_sf(c, v):
-            sf[:, c:c + 1] = v
+            sf[:, c * K:(c + 1) * K] = v
 
         def set_so(c, v):
-            so[:, c:c + 1] = v
+            so[:, c * K:(c + 1) * K] = v
 
         def sic(c):
-            return si[:, c:c + 1]
+            return si[:, c * K:(c + 1) * K]
 
         def set_si(c, v):
-            si[:, c:c + 1] = v
+            si[:, c * K:(c + 1) * K] = v
+
+        # f32 scalar scratch init: c_e, c_lp, pr_e, pr_lp
+        sf[:] = jnp.zeros((RW, _LANE), jnp.float32)
+        set_sf(_S_CE, E0)
+        set_sf(_S_PRE, E0)
+        set_sf(_S_CLP, lp)
+        set_sf(_S_PRLP, lp)
 
         if prng == "tpu":
             uniform = _uniform
         else:
             # Counter PRNG (interpret-mode / CPU CI path): per-lane salt
-            # from (seed words, block id, lane), a shared call counter in
-            # the i32 scratch (zero-initialized above), murmur3-mixed per
-            # call. Plain XLA ops only, so it lowers everywhere.
-            lane = lax.broadcasted_iota(jnp.int32, (CB, 1), 0)
+            # from (seed words, block id, chain index), a shared call
+            # counter in the i32 scratch (zero-initialized above),
+            # murmur3-mixed per call. Plain XLA ops, lowers everywhere.
+            row_i = lax.broadcasted_iota(jnp.int32, (RW, K), 0)
+            seg_i = lax.broadcasted_iota(jnp.int32, (RW, K), 1)
+            lane = row_i * K + seg_i
             base = seed_ref[0] + pl.program_id(0) * 7919
             salt = _fmix32(
                 (base + lane * 101027).astype(jnp.uint32)
@@ -260,7 +361,7 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
             )
 
             def uniform(shape):
-                del shape  # every consumer draws (CB, 1)
+                del shape  # every consumer draws (RW, K)
                 c = sic(_M_RNG) + 1
                 set_si(_M_RNG, c)
                 x = _fmix32(salt ^ (c.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)))
@@ -268,24 +369,25 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
                     1.0 / (1 << 24))
 
         def rowdot(a, bb):
-            return jnp.sum(a * bb, axis=1, keepdims=True)
+            return segsum(a * bb)
 
         def logbern(log_p):
             # NaN log_p yields False (reference math.py:21-25 raises; we mask)
-            return jnp.log(uniform((CB, 1))) < log_p
+            return jnp.log(uniform((RW, K))) < log_p
 
         def outer_body(carry):
             depth, _ = carry
             active = ((soc(_O_DIV) == 0) & (soc(_O_TURN) == 0)
                       & (soc(_O_DEPTH) < mdc_v))
-            go_right = uniform((CB, 1)) < 0.5
-            epss = jnp.where(go_right, eps_v, -eps_v)
-            c_q[:] = jnp.where(go_right, r_q[:], l_q[:])
-            c_p[:] = jnp.where(go_right, r_p[:], l_p[:])
-            c_g[:] = jnp.where(go_right, r_g[:], l_g[:])
+            go_right = uniform((RW, K)) < 0.5
+            go_right_b = bcb(go_right)
+            epss = bc(jnp.where(go_right, eps_v, -eps_v))
+            c_q[:] = jnp.where(go_right_b, r_q[:], l_q[:])
+            c_p[:] = jnp.where(go_right_b, r_p[:], l_p[:])
+            c_g[:] = jnp.where(go_right_b, r_g[:], l_g[:])
             set_si(_M_BLD, active.astype(jnp.int32))
-            set_si(_M_SDV, jnp.zeros((CB, 1), jnp.int32))
-            set_si(_M_STN, jnp.zeros((CB, 1), jnp.int32))
+            set_si(_M_SDV, jnp.zeros((RW, K), jnp.int32))
+            set_si(_M_STN, jnp.zeros((RW, K), jnp.int32))
             n_total = jnp.left_shift(jnp.int32(1), depth)
 
             def leaf_body(lcarry):
@@ -301,7 +403,7 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
                     qn = qn + (ai * epss) * velE(pn)
                     lpn, gn = model(qn)
                     pn = pn + (b_coef[i + 1] * epss) * gn
-                en = 0.5 * jnp.sum(pn * velE(pn), axis=1, keepdims=True) - lpn
+                en = 0.5 * segsum(pn * velE(pn)) - lpn
 
                 # Aborted lanes are NOT frozen: they keep integrating
                 # garbage, but every consumer of their values is masked
@@ -323,12 +425,12 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
                 # push the leaf at height h (aborted lanes write garbage
                 # into slots they never read again)
                 lpaw = -dE + jnp.minimum(0.0, -dE)
-                s_lp[pl.ds(h, 1)] = c_p[:].reshape(1, CB, Npad)
-                s_rp[pl.ds(h, 1)] = c_p[:].reshape(1, CB, Npad)
-                s_ps[pl.ds(h, 1)] = c_p[:].reshape(1, CB, Npad)
-                s_q[pl.ds(h, 1)] = pack(
+                s_lp[pl.ds(h, 1)] = c_p[:].reshape(1, RW, Npad)
+                s_rp[pl.ds(h, 1)] = c_p[:].reshape(1, RW, Npad)
+                s_ps[pl.ds(h, 1)] = c_p[:].reshape(1, RW, Npad)
+                s_q[pl.ds(h, 1)] = pack_slot(
                     c_q[:], sfc(_S_CE), sfc(_S_CLP), -dE, lpaw
-                ).reshape(1, CB, Npad)
+                ).reshape(1, RW, Npad)
 
                 # --- in-place merges: one per trailing one-bit of leaf_idx ---
                 set_si(_M_MRG, (bld & ~div_leaf).astype(jnp.int32))
@@ -336,16 +438,16 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
                 def merge_body(mc):
                     j, hh, _ = mc
                     mrg = sic(_M_MRG) != 0
-                    t1_lp = s_lp[pl.ds(hh - 1, 1)].reshape(CB, Npad)
-                    t1_rp = s_rp[pl.ds(hh - 1, 1)].reshape(CB, Npad)
-                    t1_ps = s_ps[pl.ds(hh - 1, 1)].reshape(CB, Npad)
-                    t1_q, t1_e, t1_lpp, t1_ls, t1_lw = unpack(
-                        s_q[pl.ds(hh - 1, 1)].reshape(CB, Npad))
-                    t2_lp = s_lp[pl.ds(hh, 1)].reshape(CB, Npad)
-                    t2_rp = s_rp[pl.ds(hh, 1)].reshape(CB, Npad)
-                    t2_ps = s_ps[pl.ds(hh, 1)].reshape(CB, Npad)
-                    t2_q, t2_e, t2_lpp, t2_ls, t2_lw = unpack(
-                        s_q[pl.ds(hh, 1)].reshape(CB, Npad))
+                    t1_lp = s_lp[pl.ds(hh - 1, 1)].reshape(RW, Npad)
+                    t1_rp = s_rp[pl.ds(hh - 1, 1)].reshape(RW, Npad)
+                    t1_ps = s_ps[pl.ds(hh - 1, 1)].reshape(RW, Npad)
+                    t1_q, t1_e, t1_lpp, t1_ls, t1_lw = unpack_slot(
+                        s_q[pl.ds(hh - 1, 1)].reshape(RW, Npad))
+                    t2_lp = s_lp[pl.ds(hh, 1)].reshape(RW, Npad)
+                    t2_rp = s_rp[pl.ds(hh, 1)].reshape(RW, Npad)
+                    t2_ps = s_ps[pl.ds(hh, 1)].reshape(RW, Npad)
+                    t2_q, t2_e, t2_lpp, t2_ls, t2_lw = unpack_slot(
+                        s_q[pl.ds(hh, 1)].reshape(RW, Npad))
 
                     # 3-way generalized U-turn (reference nuts.py:389-398);
                     # boundary velocities recomputed from momenta.
@@ -363,15 +465,15 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
                     ls = jnp.logaddexp(t1_ls, t2_ls)
                     lw = jnp.logaddexp(t1_lw, t2_lw)
                     take2 = logbern(t2_ls - ls)
-                    mq = jnp.where(take2, t2_q, t1_q)
+                    mq = jnp.where(bcb(take2), t2_q, t1_q)
                     me = jnp.where(take2, t2_e, t1_e)
                     mlp = jnp.where(take2, t2_lpp, t1_lpp)
 
-                    s_lp[pl.ds(hh - 1, 1)] = t1_lp.reshape(1, CB, Npad)
-                    s_rp[pl.ds(hh - 1, 1)] = t2_rp.reshape(1, CB, Npad)
-                    s_ps[pl.ds(hh - 1, 1)] = ps.reshape(1, CB, Npad)
-                    s_q[pl.ds(hh - 1, 1)] = pack(mq, me, mlp, ls, lw).reshape(
-                        1, CB, Npad)
+                    s_lp[pl.ds(hh - 1, 1)] = t1_lp.reshape(1, RW, Npad)
+                    s_rp[pl.ds(hh - 1, 1)] = t2_rp.reshape(1, RW, Npad)
+                    s_ps[pl.ds(hh - 1, 1)] = ps.reshape(1, RW, Npad)
+                    s_q[pl.ds(hh - 1, 1)] = pack_slot(mq, me, mlp, ls, lw).reshape(
+                        1, RW, Npad)
 
                     nxt_mrg = (mrg & ~turn).astype(jnp.int32)
                     set_si(_M_MRG, nxt_mrg)
@@ -407,11 +509,11 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
                            (jnp.int32(0), jnp.int32(0), go_l0))
 
             # the completed subtree is stack slot 0
-            n_lp = s_lp[pl.ds(0, 1)].reshape(CB, Npad)
-            n_rp = s_rp[pl.ds(0, 1)].reshape(CB, Npad)
-            n_ps = s_ps[pl.ds(0, 1)].reshape(CB, Npad)
-            n_q, n_e, n_lpp, n_ls, n_lw = unpack(
-                s_q[pl.ds(0, 1)].reshape(CB, Npad))
+            n_lp = s_lp[pl.ds(0, 1)].reshape(RW, Npad)
+            n_rp = s_rp[pl.ds(0, 1)].reshape(RW, Npad)
+            n_ps = s_ps[pl.ds(0, 1)].reshape(RW, Npad)
+            n_q, n_e, n_lpp, n_ls, n_lw = unpack_slot(
+                s_q[pl.ds(0, 1)].reshape(RW, Npad))
 
             sdiv = sic(_M_SDV) != 0
             strn = sic(_M_STN) != 0
@@ -419,7 +521,7 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
 
             # multinomial swap vs the old tree weight (nuts.py:321-323)
             take_new = ok & logbern(n_ls - soc(_O_LS))
-            pr_q[:] = jnp.where(take_new, n_q, pr_q[:])
+            pr_q[:] = jnp.where(bcb(take_new), n_q, pr_q[:])
             set_sf(_S_PRE, jnp.where(take_new, n_e, sfc(_S_PRE)))
             set_sf(_S_PRLP, jnp.where(take_new, n_lpp, sfc(_S_PRLP)))
             set_so(_O_LS, jnp.where(ok, jnp.logaddexp(soc(_O_LS), n_ls),
@@ -427,10 +529,11 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
             set_so(_O_LW, jnp.where(ok, jnp.logaddexp(soc(_O_LW), n_lw),
                                     soc(_O_LW)))
             old_ps = psum[:]
-            psum[:] = jnp.where(ok, old_ps + n_ps, old_ps)
+            ok_b = bcb(ok)
+            psum[:] = jnp.where(ok_b, old_ps + n_ps, old_ps)
 
-            upd_l = ok & ~go_right
-            upd_r = ok & go_right
+            upd_l = bcb(ok & ~go_right)
+            upd_r = bcb(ok & go_right)
             old_l_p = l_p[:]
             old_r_p = r_p[:]
             l_q[:] = jnp.where(upd_l, c_q[:], l_q[:])
@@ -443,13 +546,13 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
             # 3-way U-turn on the merged span (nuts.py:332-340)
             pst = psum[:]
             tf = (rowdot(pst, velC(l_p[:])) <= 0) | (rowdot(pst, velC(r_p[:])) <= 0)
-            ps1 = jnp.where(go_right, old_ps + n_lp, n_ps + old_l_p)
-            p1a = jnp.where(go_right, old_l_p, n_rp)
-            p1b = jnp.where(go_right, n_lp, old_l_p)
+            ps1 = jnp.where(go_right_b, old_ps + n_lp, n_ps + old_l_p)
+            p1a = jnp.where(go_right_b, old_l_p, n_rp)
+            p1b = jnp.where(go_right_b, n_lp, old_l_p)
             t1c = (rowdot(ps1, velC(p1a)) <= 0) | (rowdot(ps1, velC(p1b)) <= 0)
-            ps2 = jnp.where(go_right, old_r_p + n_ps, n_lp + old_ps)
-            p2a = jnp.where(go_right, old_r_p, n_lp)
-            p2b = jnp.where(go_right, n_rp, old_r_p)
+            ps2 = jnp.where(go_right_b, old_r_p + n_ps, n_lp + old_ps)
+            p2a = jnp.where(go_right_b, old_r_p, n_lp)
+            p2b = jnp.where(go_right_b, n_rp, old_r_p)
             t2c = (rowdot(ps2, velC(p2a)) <= 0) | (rowdot(ps2, velC(p2b)) <= 0)
             turning_new = tf | t1c | t2c
 
@@ -485,6 +588,24 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
     return kernel
 
 
+def natural_pack(n: int, max_pack: int = 16) -> int:
+    """Largest lane-packing factor for an ``n``-parameter model.
+
+    K chains share a 128-lane row in segments of ``SEG = 128 // K``
+    lanes; each segment needs ``n + 4`` lanes (params + slot scalars).
+    Returns 1 when packing buys nothing (``n + 4 > 64``).
+    """
+    k = 1
+    seg = _LANE
+    while (
+        k * 2 <= max_pack
+        and seg // 2 >= n + _N_SCALARS
+    ):
+        k *= 2
+        seg //= 2
+    return k
+
+
 @functools.lru_cache(maxsize=128)
 def build_trajectory_op(
     spec: PallasModelSpec,
@@ -497,6 +618,7 @@ def build_trajectory_op(
     vmem_limit_bytes: int = 64 * 1024 * 1024,
     metric: str = "diag",
     prng: str | None = None,
+    pack: int = 1,
 ):
     """Build ``traj(q, p, grad, logp, eps, max_depth_c, var, seed)``.
 
@@ -517,26 +639,49 @@ def build_trajectory_op(
     source that lowers under ``interpret=True``, so CPU CI can exercise
     the kernel's merge/U-turn/packing logic). Default: ``"counter"``
     when ``interpret`` else ``"tpu"``.
+
+    ``pack``: lane-packing factor K. With K > 1, K chains share each
+    128-lane VPU row (``SEG = 128 // K`` lanes per chain) so small-n
+    models stop wasting ~90% of every vector op; requires a diagonal
+    metric and a spec with a ``packed_fn``. See :func:`natural_pack`.
     """
     if prng is None:
         prng = "counter" if interpret else "tpu"
     coeffs = INTEGRATOR_COEFFS[integrator]
-    Npad = padded_dim(n)
+    K = int(pack)
     D = max_treedepth
-    model_fn = spec.fn
-    consts = spec.consts
+    if K > 1:
+        if metric != "diag":
+            raise ValueError("lane packing requires a diagonal metric")
+        if spec.packed_fn is None:
+            raise ValueError("this PallasModelSpec has no packed_fn; "
+                             "build with pack=1")
+        Npad = _LANE
+        SEG = Npad // K
+        if SEG < n + _N_SCALARS:
+            raise ValueError(
+                f"pack={K} leaves {SEG}-lane segments but the model needs "
+                f"{n + _N_SCALARS}; use pack <= {natural_pack(n)}")
+        model_fn = spec.packed_fn
+        consts = tuple(spec.packed_consts(K, SEG)) if spec.packed_consts else ()
+    else:
+        Npad = padded_dim(n)
+        SEG = Npad
+        model_fn = spec.fn
+        consts = spec.consts
     n_consts = len(consts)
 
     def traj(q, p, grad, logp, eps, max_depth_c, var, seed):
         C = q.shape[0]
         CB = min(chain_block, C)
-        while C % CB:
+        while C % CB or CB % K:
             CB //= 2
-        if CB < 8:
+        if CB // K < 8:
             raise ValueError(
-                f"chains={C} has no usable chain-block divisor >= 8; choose "
-                f"a chain count divisible by a power of two >= 8 (ideally a "
-                f"multiple of {chain_block}) for the Pallas trajectory path"
+                f"chains={C} has no usable chain-block divisor with >= 8 "
+                f"rows at pack={K}; choose a chain count divisible by "
+                f"{8 * K} (ideally a multiple of {chain_block}) for the "
+                f"Pallas trajectory path"
             )
         if CB < min(chain_block, C):
             import logging
@@ -547,34 +692,48 @@ def build_trajectory_op(
                 "(choose a multiple of %d chains for peak throughput).",
                 C, chain_block, C // CB, CB, chain_block,
             )
+        RW = CB // K       # rows per block
+        RT = C // K        # rows total
 
         f32 = jnp.float32
-        padw = ((0, 0), (0, Npad - n))
-        qp = jnp.pad(q.astype(f32), padw)
-        pp = jnp.pad(p.astype(f32), padw)
-        gp = jnp.pad(grad.astype(f32), padw)
+
+        def pack_rows(x2d):
+            # (C, n) -> (RT, Npad): K chains per row, one SEG-lane segment
+            # each, zero-padded past column n. K = 1 degenerates to the
+            # plain pad (SEG == Npad).
+            xp = jnp.pad(x2d.astype(f32), ((0, 0), (0, SEG - n)))
+            return xp.reshape(RT, K * SEG)
+
+        def pack_scal(v):
+            return v.astype(f32).reshape(RT, K)
+
+        qp = pack_rows(q)
+        pp = pack_rows(p)
+        gp = pack_rows(grad)
         if metric == "diag":
-            vp = jnp.pad(var.astype(f32), padw)
-        else:  # shared (n, n) covariance, zero-padded square
+            vp = pack_rows(var)
+        else:  # shared (n, n) covariance, zero-padded square (K == 1)
             vp = jnp.pad(var.astype(f32), ((0, Npad - n), (0, Npad - n)))
-        sin = jnp.zeros((C, _N_IN), f32)
-        sin = sin.at[:, _IN_LOGP].set(logp.astype(f32))
-        sin = sin.at[:, _IN_EPS].set(eps.astype(f32))
-        sin = sin.at[:, _IN_MAXDEPTH].set(max_depth_c.astype(f32))
+        sin_w = _N_IN * K
+        sin = jnp.zeros((RT, sin_w), f32)
+        sin = sin.at[:, _IN_LOGP * K:(_IN_LOGP + 1) * K].set(pack_scal(logp))
+        sin = sin.at[:, _IN_EPS * K:(_IN_EPS + 1) * K].set(pack_scal(eps))
+        sin = sin.at[:, _IN_MAXDEPTH * K:(_IN_MAXDEPTH + 1) * K].set(
+            pack_scal(max_depth_c))
         seed1 = jnp.asarray(seed, jnp.int32).reshape(-1)
         if seed1.shape[0] < 2:  # accept scalar seeds; duplicate the word
             seed1 = jnp.concatenate([seed1, seed1])
         seed1 = seed1[:2]
 
-        grid = (C // CB,)
-        row_spec = pl.BlockSpec((CB, Npad), lambda i: (i, 0),
+        grid = (RT // RW,)
+        row_spec = pl.BlockSpec((RW, Npad), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         var_spec = (row_spec if metric == "diag"
                     else pl.BlockSpec((Npad, Npad), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
-        in_spec = pl.BlockSpec((CB, _N_IN), lambda i: (i, 0),
+        in_spec = pl.BlockSpec((RW, sin_w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
-        out_sc_spec = pl.BlockSpec((CB, _N_OUT), lambda i: (i, 0),
+        out_sc_spec = pl.BlockSpec((RW, _N_OUT * K), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
         const_specs = [
             pl.BlockSpec(cc.shape, (lambda i, _nd=cc.ndim: (0,) * _nd),
@@ -583,22 +742,22 @@ def build_trajectory_op(
         ]
 
         out_shapes = [
-            jax.ShapeDtypeStruct((C, Npad), f32),    # proposal q
-            jax.ShapeDtypeStruct((C, Npad), f32),    # proposal grad
-            jax.ShapeDtypeStruct((C, _N_OUT), f32),  # packed scalars
+            jax.ShapeDtypeStruct((RT, Npad), f32),         # proposal q
+            jax.ShapeDtypeStruct((RT, Npad), f32),         # proposal grad
+            jax.ShapeDtypeStruct((RT, _N_OUT * K), f32),   # packed scalars
         ]
         out_specs = [row_spec, row_spec, out_sc_spec]
 
         scratch = (
-            [pltpu.VMEM((CB, Npad), f32)] * 11      # l/r/c states, pr_q, psum
-            + [pltpu.VMEM((CB, _LANE), f32)]        # packed f32 scalars
-            + [pltpu.VMEM((CB, _LANE), jnp.int32)]  # packed i32 masks
-            + [pltpu.VMEM((D, CB, Npad), f32)] * 4  # merge stacks
+            [pltpu.VMEM((RW, Npad), f32)] * 11      # l/r/c states, pr_q, psum
+            + [pltpu.VMEM((RW, _LANE), f32)]        # packed f32 scalars
+            + [pltpu.VMEM((RW, _LANE), jnp.int32)]  # packed i32 masks
+            + [pltpu.VMEM((D, RW, Npad), f32)] * 4  # merge stacks
         )
 
         kernel = _build_kernel_body(
             model_fn, n_consts, n, Npad, CB, D, float(Emax), coeffs,
-            metric=metric, prng=prng,
+            metric=metric, prng=prng, pack=K,
         )
         outs = pl.pallas_call(
             kernel,
@@ -615,18 +774,25 @@ def build_trajectory_op(
         )(seed1, qp, pp, gp, sin, vp, *consts)
 
         q_o, g_o, so = outs
+
+        def unpack_rows(x):
+            return x.reshape(C, SEG)[:, :n]
+
+        def so_col(c):
+            return so[:, c * K:(c + 1) * K].reshape(C)
+
         return dict(
-            q=q_o[:, :n],
-            grad=g_o[:, :n],
-            energy=so[:, _O_ENERGY],
-            logp=so[:, _O_LOGP],
-            log_size=so[:, _O_LS],
-            log_weighted_accept_sum=so[:, _O_LW],
-            max_energy_change=so[:, _O_MEC],
-            depth=so[:, _O_DEPTH].astype(jnp.int32),
-            n_leaves=so[:, _O_NLV].astype(jnp.int32),
-            diverging=so[:, _O_DIV] != 0,
-            turning=so[:, _O_TURN] != 0,
+            q=unpack_rows(q_o),
+            grad=unpack_rows(g_o),
+            energy=so_col(_O_ENERGY),
+            logp=so_col(_O_LOGP),
+            log_size=so_col(_O_LS),
+            log_weighted_accept_sum=so_col(_O_LW),
+            max_energy_change=so_col(_O_MEC),
+            depth=so_col(_O_DEPTH).astype(jnp.int32),
+            n_leaves=so_col(_O_NLV).astype(jnp.int32),
+            diverging=so_col(_O_DIV) != 0,
+            turning=so_col(_O_TURN) != 0,
         )
 
     return traj

@@ -130,6 +130,79 @@ def test_interpret_trajectory_deterministic_given_seed():
     assert not np.array_equal(a["q"], c["q"])  # seed actually feeds the stream
 
 
+def test_natural_pack_factors():
+    from littlemcmc_tpu.ops.nuts_trajectory_pallas import natural_pack
+
+    assert natural_pack(1) == 16   # 8-lane segments
+    assert natural_pack(4) == 16
+    assert natural_pack(10) == 8   # 16-lane segments (n+4 = 14)
+    assert natural_pack(28) == 4
+    assert natural_pack(60) == 2
+    assert natural_pack(61) == 1   # n+4 > 64: packing buys nothing
+
+
+@pytest.mark.parametrize("model_name,pack", [
+    ("std4", 8), ("std4", 16), ("funnel", 8), ("eight_schools", 8),
+])
+def test_packed_trajectory_matches_unpacked(model_name, pack):
+    """Lane-packed (K chains per 128-lane row) trajectories must equal the
+    unpacked layout chain-for-chain: the counter PRNG seeds per chain
+    index, so the same trees are built in both layouts."""
+    from littlemcmc_tpu.ops import build_trajectory_op
+
+    model = {"std4": models.StandardNormal(4),
+             "funnel": models.NealsFunnel(10),
+             "eight_schools": models.EightSchools()}[model_name]
+    N, C, MD = model.ndim, 128, 5
+    spec = model.pallas_trajectory_spec()
+    kq, kp = jax.random.split(jax.random.key(1))
+    q = jax.random.normal(kq, (C, N), jnp.float32) * 0.5
+    lp = jax.vmap(model.logp)(q)
+    g = jax.vmap(lambda x: model.logp_grad(x)[1])(q)
+    p = jax.random.normal(kp, (C, N), jnp.float32)
+    args = (q, p, g, lp, jnp.full((C,), 0.25, jnp.float32),
+            jnp.full((C,), MD, jnp.int32), jnp.ones((C, N), jnp.float32),
+            jnp.int32(5))
+    o1 = jax.tree.map(np.asarray, build_trajectory_op(
+        spec, N, MD, 1000.0, interpret=True, pack=1, chain_block=C)(*args))
+    ok = jax.tree.map(np.asarray, build_trajectory_op(
+        spec, N, MD, 1000.0, interpret=True, pack=pack, chain_block=C)(*args))
+    np.testing.assert_array_equal(o1["depth"], ok["depth"])
+    np.testing.assert_array_equal(o1["n_leaves"], ok["n_leaves"])
+    np.testing.assert_allclose(o1["q"], ok["q"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(o1["logp"], ok["logp"], rtol=1e-3, atol=1e-3)
+
+
+def test_packed_requires_packed_fn_and_diag_metric():
+    from littlemcmc_tpu.ops import build_trajectory_op
+
+    bare = PallasModelSpec(lambda q: (q[:, :1], -q), (), 4)
+    with pytest.raises(ValueError, match="packed_fn"):
+        build_trajectory_op(bare, 4, 5, 1000.0, pack=8)
+    spec = models.StandardNormal(4).pallas_trajectory_spec()
+    with pytest.raises(ValueError, match="diagonal"):
+        build_trajectory_op(spec, 4, 5, 1000.0, pack=8, metric="dense")
+
+
+def test_packed_e2e_sample_with_consts():
+    """Full sample() on the packed path for a model with packed consts.
+
+    Regression: packed_consts runs at kernel-build time *inside* the jit
+    trace of the scan body; returning jnp (device) arrays there leaked
+    tracers through the build_trajectory_op cache.
+    """
+    m = models.EightSchools()
+    step = lmc.NUTS(model_ndim=10,
+                    pallas_trajectory=m.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    # chains=64 -> pack=8 (8 rows of 8 chains)
+    tr, st = lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=10,
+                        chains=64, tune=100, draws=150, random_seed=4,
+                        step=step, progressbar=False, target_accept=0.9)
+    assert tr.shape == (64, 150, 10)
+    assert 0.5 < np.asarray(st["mean_tree_accept"])[:, -50:].mean() < 0.99
+
+
 def test_interpret_e2e_sample():
     """Full sample() through the interpret-mode trajectory kernel."""
     model = models.StandardNormal(4)
