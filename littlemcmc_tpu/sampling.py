@@ -346,34 +346,103 @@ def _make_init_fn(config, logp_grad, model_ndim: int, full: bool, dtype, has_pot
     return jax.jit(jax.vmap(init_one))
 
 
+@functools.lru_cache(maxsize=None)
+def _supports_host_callbacks() -> bool:
+    """Whether the default backend can run ``jax.debug.callback``.
+
+    Real CPU/TPU/GPU hosts can; the remote-tunnel `axon` backend cannot
+    (no host send/recv). Probed once with a trivial jitted callback.
+    """
+    try:
+        jax.jit(lambda: jax.debug.callback(lambda: None))()
+        return True
+    except Exception:
+        return False
+
+
+class _ProgressSink:
+    """Host-side receiver for in-scan live progress callbacks."""
+
+    def __init__(self, chains: int, tune: int, draws: int):
+        self.chains = chains
+        self.tune = tune
+        self.draws = draws
+        self.t0 = time.perf_counter()
+
+    def emit(self, done: int, ndiv: int, tuning: bool) -> None:
+        rate = self.chains * done / max(time.perf_counter() - self.t0, 1e-9)
+        _log.info(
+            "  %d/%d iterations (%s), %d divergences, %.0f transitions/s",
+            done, self.tune + self.draws, "tuning" if tuning else "sampling",
+            ndiv, rate,
+        )
+
+
+_progress_sink: Optional[_ProgressSink] = None
+
+
+def _emit_tune_progress(i, ndiv):
+    s = _progress_sink
+    if s is not None:
+        s.emit(int(i) + 1, int(ndiv), tuning=True)
+
+
+def _emit_draw_progress(i, ndiv):
+    s = _progress_sink
+    if s is not None:
+        s.emit(s.tune + int(i) + 1, int(ndiv), tuning=False)
+
+
 @functools.lru_cache(maxsize=256)
 def _make_runner(kernel, tune: int, draws: int, collect_tune: bool,
-                 cross_chain_adapt: bool = False):
+                 cross_chain_adapt: bool = False, live_every: int = 0):
     """Jitted two-phase (tune, draw) scan over the vmapped kernel.
 
     Cached on the kernel object (itself memoized per ``(model, config)``)
     plus the phase lengths, so repeated ``sample()`` calls with identical
     shapes hit jax's jit cache instead of recompiling.
+
+    ``live_every > 0`` emits a host progress callback (iteration count,
+    running divergence total) every that-many draws from *inside* the
+    compiled scan — per-draw-granular progress with no chunking and no
+    recompiles (the reference's live bar, ``sampling.py:455-469``).
+    Requires a backend with host-callback support.
     """
     from .parallel.cross_chain import cross_chain_potential_pool
 
     batched_kernel = kernel  # kernels are chain-batched by construction
 
-    def phase(states, n_steps: int, tuning: bool, collect: bool):
-        def body(s, _):
+    def phase(states, ndiv0, n_steps: int, tuning: bool, collect: bool,
+              emit_fn):
+        def body(carry, i):
+            s, ndiv = carry
             s2, info = batched_kernel(s, jnp.asarray(tuning))
             if cross_chain_adapt and tuning:
                 s2 = s2.replace(
                     potential=cross_chain_potential_pool(s2.potential, jnp.asarray(tuning))
                 )
-            return s2, ((s2.q, info) if collect else None)
+            ndiv = ndiv + jnp.sum(info.diverging).astype(jnp.int32)
+            if live_every:
+                # also emit at the phase end so the tune->draw boundary
+                # never opens a gap wider than live_every draws
+                lax.cond(
+                    ((i + 1) % live_every == 0) | (i == n_steps - 1),
+                    lambda: jax.debug.callback(emit_fn, i, ndiv),
+                    lambda: None,
+                )
+            return (s2, ndiv), ((s2.q, info) if collect else None)
 
-        return lax.scan(body, states, length=n_steps)
+        (states2, ndiv), out = lax.scan(
+            body, (states, ndiv0), jnp.arange(n_steps))
+        return states2, ndiv, out
 
     @jax.jit
     def run(states):
-        states, tune_out = phase(states, tune, True, collect_tune)
-        states, draw_out = phase(states, draws, False, True)
+        zero = jnp.asarray(0, jnp.int32)
+        states, ndiv, tune_out = phase(
+            states, zero, tune, True, collect_tune, _emit_tune_progress)
+        states, _, draw_out = phase(
+            states, ndiv, draws, False, True, _emit_draw_progress)
         return states, tune_out, draw_out
 
     return run
@@ -733,9 +802,23 @@ def sample(
             quiet=not progressbar,
         )
     else:
-        run = _make_runner(kernel, tune, draws, collect_tune, cross_chain_adapt)
-        final_states, tune_out, draw_out = run(states0)
-        jax.block_until_ready(draw_out)
+        # Live in-scan progress (reference's per-draw bar with a running
+        # divergence count, ``sampling.py:455-469``): a host callback
+        # every <= 25 draws from inside the compiled scan — fine-grained
+        # without chunking or recompiles. Needs host-callback support
+        # (real CPU/TPU/GPU hosts; not the axon tunnel backend).
+        live_every = 0
+        if progressbar and (tune + draws) > 25 and _supports_host_callbacks():
+            live_every = 25
+        global _progress_sink
+        run = _make_runner(kernel, tune, draws, collect_tune,
+                           cross_chain_adapt, live_every)
+        _progress_sink = _ProgressSink(chains, tune, draws) if live_every else None
+        try:
+            final_states, tune_out, draw_out = run(states0)
+            jax.block_until_ready(draw_out)
+        finally:
+            _progress_sink = None
         outs = ([tune_out] if collect_tune else []) + [draw_out]
 
     elapsed = time.perf_counter() - t0

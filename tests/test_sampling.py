@@ -339,3 +339,23 @@ def test_init_nuts_logp_fn_only():
     assert trace.shape == (2, 100, 2)
     import numpy as np
     assert np.isfinite(np.asarray(trace)).all()
+
+
+def test_live_progress_at_25_draw_granularity(caplog):
+    """progressbar=True emits in-scan progress every <= 25 draws with a
+    running divergence count (the reference's live bar,
+    ``sampling.py:455-469``) — no chunking, no recompiles."""
+    import logging
+    import re
+
+    with caplog.at_level(logging.INFO, logger="littlemcmc_tpu"):
+        lmc.sample(logp_dlogp_func=std_normal_logp_grad, model_ndim=1,
+                   draws=60, tune=40, chains=4, random_seed=0,
+                   progressbar=True)
+    lines = [r.message for r in caplog.records
+             if "iterations" in r.message and "divergences" in r.message]
+    assert len(lines) >= 3  # 100 total iterations / 25
+    assert any("tuning" in ln for ln in lines)
+    assert any("sampling" in ln for ln in lines)
+    done = [int(re.match(r"\s*(\d+)/", ln).group(1)) for ln in lines]
+    assert all(b - a <= 25 for a, b in zip(done, done[1:]))
