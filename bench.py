@@ -86,17 +86,23 @@ def main():
     jax.block_until_ready(out)
     warm = time.perf_counter() - t0
 
-    # Timed full run from the initial state (deterministic).
+    # Timed full run from the initial state (deterministic). Tune and
+    # draw phases timed separately (the roofline numbers below need the
+    # draw-phase wall time matched to the collected tree-size stats).
     t0 = time.perf_counter()
     s = states0
     for _ in range(TUNE // CHUNK):
         s, _, _ = tune_chunk(s)
+    jax.block_until_ready(s)
+    tune_seconds = time.perf_counter() - t0
+    t0 = time.perf_counter()
     outs = []
     for _ in range(DRAWS // CHUNK):
         s, out, _ = draw_chunk(s)
         outs.append(out)
     jax.block_until_ready(s)
-    sample_seconds = time.perf_counter() - t0
+    draw_seconds = time.perf_counter() - t0
+    sample_seconds = tune_seconds + draw_seconds
 
     qs = np.concatenate([np.asarray(jax.device_get(o[0])) for o in outs], axis=0)
     trace = qs.transpose(1, 0, 2)  # (chains, draws, ndim)
@@ -109,6 +115,42 @@ def main():
     ess_per_sec = min_ess / sample_seconds
     transitions_per_sec = CHAINS * (TUNE + DRAWS) / sample_seconds
 
+    # --- Roofline: measure "fast" against the chip, not just the CPU
+    # baseline. Draw phase only (tree sizes are collected there).
+    # v5e public peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM. The model
+    # matmuls run at precision="highest" (~6 bf16 passes per f32
+    # product), so the physical MXU ceiling for exact-f32 is ~197/6.
+    tree_sizes = np.concatenate(
+        [np.asarray(jax.device_get(o[1].tree_size)) for o in outs], axis=0
+    )  # (draws, chains)
+    NPAD = 128  # kernel's padded lane width for NDIM=100
+    leaps_effective = float(tree_sizes.sum())
+    # lock-step execution: every chain in a block integrates until the
+    # block's deepest tree finishes (2 blocks of 512; global max is a
+    # close upper bound)
+    leaps_executed = float(tree_sizes.max(axis=1).sum() * CHAINS)
+    flop_per_leap = 2.0 * NPAD * NPAD  # one (Npad,)x(Npad,Npad) model matvec
+    model_tflops = leaps_executed * flop_per_leap / draw_seconds / 1e12
+    # HBM bytes/transition: the Pallas kernel touches HBM only for the
+    # per-transition inputs/outputs (states + scalars; the merge stack
+    # lives in VMEM); plus the XLA-side trace/stats writes.
+    kernel_bytes = (6 * CHAINS * NPAD + 24 * CHAINS) * 4  # per draw, all chains
+    trace_bytes = (CHAINS * NDIM + 12 * CHAINS) * 4
+    hbm_gb_s = DRAWS * (kernel_bytes + trace_bytes) / draw_seconds / 1e9
+    roofline = {
+        "draw_seconds": round(draw_seconds, 2),
+        "leapfrogs_per_sec_effective": round(leaps_effective / draw_seconds),
+        "leapfrogs_per_sec_executed_lockstep": round(leaps_executed / draw_seconds),
+        "lockstep_efficiency": round(leaps_effective / leaps_executed, 3),
+        "model_matmul_tflops_algorithmic": round(model_tflops, 3),
+        "mxu_pct_of_bf16_peak": round(100 * model_tflops / 197.0, 2),
+        "mxu_pct_of_exact_f32_peak": round(100 * model_tflops / (197.0 / 6), 2),
+        "hbm_gb_per_sec": round(hbm_gb_s, 2),
+        "hbm_pct_of_peak": round(100 * hbm_gb_s / 819.0, 3),
+        "time_per_executed_leapfrog_us": round(
+            draw_seconds / (leaps_executed / CHAINS) * 1e6, 2),
+    }
+
     baseline = _baseline_ess_per_sec()
     result = {
         "metric": "NUTS bulk-ESS/s (min over dims), 100-d corr Gaussian, "
@@ -118,6 +160,7 @@ def main():
         "vs_baseline": round(ess_per_sec / baseline, 2),
         "extra": {
             "sample_seconds": round(sample_seconds, 2),
+            "roofline": roofline,
             "compile_plus_first_run_seconds": round(warm, 2),
             "transitions_per_sec": round(transitions_per_sec, 1),
             "min_ess_bulk": round(min_ess, 1),

@@ -606,6 +606,7 @@ def sample(
     pickle_backend: str = "pickle",
     mesh: Optional[Mesh] = None,
     chain_axis: str = "chains",
+    model_axis: Optional[str] = None,
     dtype=jnp.float32,
     cross_chain_adapt: bool = False,
     return_final_state: bool = False,
@@ -625,7 +626,16 @@ def sample(
       optionally ``mesh``) to scale.
     - ``mesh``: a ``jax.sharding.Mesh`` with a ``chain_axis`` axis; the
       chain batch is sharded over it (single- or multi-host). ``chains``
-      must be divisible by the mesh size.
+      must be divisible by that axis' size.
+    - ``model_axis``: name of a *second* mesh axis for large-``ndim``
+      dense metrics: every O(ndim²) metric matrix (adapted covariance,
+      Cholesky, Welford buffers) is row-sharded over it, so an ``n``-dim
+      ``adapt_full`` run stores ``n²/m`` metric floats per device
+      instead of ``n²`` (the reference holds the dense metric whole on
+      one core, ``quadpotential.py:507-524``). Metric matvecs partition
+      cleanly (GSPMD inserts one psum per kinetic-energy reduction);
+      the per-refresh Cholesky is gathered. State vectors stay
+      replicated across this axis.
     - ``logp_fn``: alternatively to ``logp_dlogp_func``, a scalar JAX
       log-density, differentiated with ``jax.value_and_grad``.
     - ``cross_chain_adapt``: pool Welford mass-matrix statistics across
@@ -681,10 +691,15 @@ def sample(
         from .ops.nuts_trajectory_pallas import usable_chain_count
 
         # the kernel blocks the *per-device* chain shard under a mesh
-        local_chains = chains // mesh.size if mesh is not None else chains
+        local_chains = (
+            chains // (mesh.shape[chain_axis] if chain_axis in mesh.shape
+                       else mesh.size)
+            if mesh is not None else chains
+        )
         usable_block = local_chains >= 1 and usable_chain_count(local_chains)
         if (
             "pallas_trajectory" not in kwargs
+            and model_axis is None  # model-sharded runs stay on the XLA tree
             and not full
             and "scaling" not in kwargs  # could be a dense metric
             and "potential" not in kwargs
@@ -751,12 +766,37 @@ def sample(
         states0 = init_fn(chain_keys, starts)
 
     if mesh is not None:
-        if chains % mesh.size != 0:
+        n_chain_devs = mesh.shape[chain_axis] if chain_axis in mesh.shape else mesh.size
+        if chains % n_chain_devs != 0:
             raise ValueError(
-                f"chains ({chains}) must be divisible by mesh size ({mesh.size})"
+                f"chains ({chains}) must be divisible by the {chain_axis!r} "
+                f"mesh axis size ({n_chain_devs})"
             )
-        sharding = NamedSharding(mesh, P(chain_axis))
-        states0 = jax.tree.map(lambda x: jax.device_put(x, sharding), states0)
+        if model_axis is not None:
+            if model_axis not in mesh.shape:
+                raise ValueError(
+                    f"mesh has no axis named {model_axis!r}: {dict(mesh.shape)}"
+                )
+            m_devs = mesh.shape[model_axis]
+            if model_ndim % m_devs != 0:
+                raise ValueError(
+                    f"model_ndim ({model_ndim}) must be divisible by the "
+                    f"{model_axis!r} mesh axis size ({m_devs})"
+                )
+
+            def _shard(x):
+                # O(n^2) metric matrices (C, n, n): rows over the model
+                # axis. Everything else: chain-sharded, model-replicated.
+                if jnp.ndim(x) >= 3 and x.shape[-1] == x.shape[-2] == model_ndim:
+                    spec = P(chain_axis, model_axis)
+                else:
+                    spec = P(chain_axis)
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            states0 = jax.tree.map(_shard, states0)
+        else:
+            sharding = NamedSharding(mesh, P(chain_axis))
+            states0 = jax.tree.map(lambda x: jax.device_put(x, sharding), states0)
 
     # Fail fast on a bad initial point, like the reference's "Bad initial
     # energy" check (``base_hmc.py:145-148``) but for all chains at once.

@@ -16,6 +16,7 @@ import littlemcmc_tpu as lmc
 from littlemcmc_tpu.parallel import chain_mesh, shard_chains, cross_chain_potential_pool
 from littlemcmc_tpu.quadpotential import QuadPotentialDiagAdapt, QuadPotentialFullAdapt
 from tests.conftest import std_normal_logp_grad
+from littlemcmc_tpu import models
 
 
 def test_chain_mesh_shapes(eight_device_mesh):
@@ -126,3 +127,52 @@ def test_shard_chains_helper(eight_device_mesh):
     x = {"a": jnp.zeros((16, 3)), "b": jnp.zeros((16,))}
     sharded = shard_chains(x, eight_device_mesh)
     assert len(sharded["a"].sharding.device_set) == 8
+
+
+def test_model_axis_shards_dense_metric():
+    """2-D mesh (chains x model): O(n^2) dense-metric state is row-sharded
+    over the model axis (SURVEY.md §5 large-ndim scale axis; the
+    reference holds the whole dense metric on one core,
+    ``quadpotential.py:507-524``)."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU backend")
+    m = models.CorrelatedGaussian(16)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("chains", "model"))
+    common = dict(logp_dlogp_func=m.logp_grad, model_ndim=16, chains=8,
+                  init="jitter+adapt_full", random_seed=5, progressbar=False,
+                  return_final_state=True)
+
+    # short horizon: sharded == replicated up to reduction-order noise
+    tr_ref, _, fs_ref = lmc.sample(tune=4, draws=1, **common)
+    tr_sh, st_sh, fs_sh = lmc.sample(tune=4, draws=1, mesh=mesh,
+                                     model_axis="model", **common)
+    spec = fs_sh.potential.cov.sharding.spec
+    assert tuple(spec)[:2] == ("chains", "model")
+    assert fs_sh.potential.fg.raw_cov.sharding.spec[1] == "model"
+    np.testing.assert_allclose(np.asarray(tr_ref), np.asarray(tr_sh),
+                               atol=1e-3)
+
+    # longer horizon: statistically correct posterior on the sharded path
+    tr, _, _ = lmc.sample(tune=200, draws=300, mesh=mesh,
+                          model_axis="model", **common)
+    vr = np.asarray(tr).reshape(-1, 16).var(0) / m.true_var
+    assert vr.min() > 0.75 and vr.max() < 1.25
+
+
+def test_model_axis_validation_errors():
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU backend")
+    m = models.CorrelatedGaussian(10)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("chains", "model"))
+    with pytest.raises(ValueError, match="divisible by the 'model'"):
+        lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=10, chains=8,
+                   init="adapt_full", mesh=mesh, model_axis="model",
+                   tune=2, draws=2, progressbar=False)
+    with pytest.raises(ValueError, match="no axis named"):
+        lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=10, chains=8,
+                   init="adapt_full", mesh=mesh, model_axis="nope",
+                   tune=2, draws=2, progressbar=False)
