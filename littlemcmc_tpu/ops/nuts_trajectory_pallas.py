@@ -227,11 +227,28 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
             lc = lax.broadcasted_iota(jnp.int32, (K, Npad), 1)
             seg_ind = (lc // SEG == lj).astype(jnp.float32)    # (K, Npad)
 
+            def finite(x):
+                # Aborted chains integrate inf/NaN garbage by design (all
+                # consumers are masked), but a 0/1-indicator dot computes
+                # 0 * inf = NaN and would poison the chain's row-mates
+                # (measured: ~1.6% spurious divergences on the funnel).
+                # Clamp to +-1e30: the owning segment still sums to a
+                # huge |dE| and trips its own divergence check; segment
+                # sums stay < 128 * 1e30 (no overflow), neighbors exact.
+                return jnp.clip(jnp.where(jnp.isnan(x), 1e30, x),
+                                -1e30, 1e30)
+
+            # exact-f32 dots: these carry energies, step sizes, and
+            # log-weights; default (bf16-input) MXU precision truncates
+            # them enough to fake divergences on wide-dynamic-range
+            # targets (measured: funnel-10d at 94% divergence rate)
             def segsum(x):
-                return jnp.dot(x, seg_ind_t, preferred_element_type=jnp.float32)
+                return jnp.dot(finite(x), seg_ind_t, precision="highest",
+                               preferred_element_type=jnp.float32)
 
             def bc(s):
-                return jnp.dot(s, seg_ind, preferred_element_type=jnp.float32)
+                return jnp.dot(finite(s), seg_ind, precision="highest",
+                               preferred_element_type=jnp.float32)
 
             def bcb(m):
                 return bc(m.astype(jnp.float32)) > 0.5
@@ -272,10 +289,12 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
             def pack_slot(qv, e, lp_, ls, lw):
                 scal = jnp.concatenate([e, lp_, ls, lw], axis=1)  # (RW, 4K)
                 return jnp.where(qmask, qv, 0.0) + jnp.dot(
-                    scal, slot_ind, preferred_element_type=jnp.float32)
+                    finite(scal), slot_ind, precision="highest",
+                    preferred_element_type=jnp.float32)
 
             def unpack_slot(x):
-                u = jnp.dot(x, slot_ind_t, preferred_element_type=jnp.float32)
+                u = jnp.dot(finite(x), slot_ind_t, precision="highest",
+                            preferred_element_type=jnp.float32)
                 return (jnp.where(qmask, x, 0.0), u[:, 0:K], u[:, K:2 * K],
                         u[:, 2 * K:3 * K], u[:, 3 * K:4 * K])
 
@@ -365,8 +384,10 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
                 c = sic(_M_RNG) + 1
                 set_si(_M_RNG, c)
                 x = _fmix32(salt ^ (c.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)))
-                return ((x >> jnp.uint32(8)).astype(jnp.float32) + 0.5) * (
-                    1.0 / (1 << 24))
+                # top 8 bits cleared -> exact through int32 (Mosaic has no
+                # direct uint32 -> f32 cast, so this also lowers on TPU)
+                bits24 = (x >> jnp.uint32(8)).astype(jnp.int32)
+                return (bits24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
 
         def rowdot(a, bb):
             return segsum(a * bb)
