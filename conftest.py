@@ -22,4 +22,11 @@ if _PLATFORM == "cpu":
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", _PLATFORM)
+if _PLATFORM == "tpu":
+    # Don't force a literal platform name: TPU plugins register under
+    # different names (plain "tpu"; the remote tunnel here is "axon").
+    # The environment default already selects the chip, and
+    # jax.default_backend() reports "tpu" either way.
+    pass
+else:
+    jax.config.update("jax_platforms", _PLATFORM)

@@ -64,10 +64,12 @@ def test_spec_fn_matches_direct_evaluation():
     q[:, :5] = np.random.RandomState(1).randn(8, 5)
     lp, g = jax.jit(spec.fn)(jnp.asarray(q), *spec.consts)
     lp_ref, g_ref = jax.vmap(jax.value_and_grad(logp_fn))(jnp.asarray(q[:, :5]))
+    # tolerances cover the TPU backend's default (bf16-input) matmul
+    # precision — the spec preserves the user's own precision setting
     np.testing.assert_allclose(np.asarray(lp[:, 0]), np.asarray(lp_ref),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=5e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(g[:, :5]), np.asarray(g_ref),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=5e-3, atol=1e-3)
 
 
 def test_replay_rewrites_preserve_values():
