@@ -544,6 +544,11 @@ def _run_chunked(
     else:
         base_step = progress_every
 
+    # The divergence counter stays on device between sync points: an
+    # int() per chunk costs a full host round trip (measured ~33 ms each
+    # on the tunneled dev box), so it is only materialized when a
+    # progress line, checkpoint, or callback actually needs the value.
+    n_div_dev = jnp.asarray(n_div_total, jnp.int32)
     while done < total:
         tuning = done < tune
         phase_end = tune if tuning else total
@@ -553,11 +558,16 @@ def _run_chunked(
 
         runner = _make_chunk_runner(kernel, chunk, tuning, collect, cross_chain_adapt)
         states, out, ndiv = runner(states)
-        jax.block_until_ready(states)
         if collect:
             outs.append(out)
-        n_div_total += int(ndiv)
+        n_div_dev = n_div_dev + ndiv
         done += chunk
+
+        due_progress = next_progress is not None and done >= next_progress
+        due_checkpoint = next_checkpoint is not None and done >= next_checkpoint
+        if callback is not None or due_checkpoint or (due_progress and not quiet):
+            jax.block_until_ready(states)
+            n_div_total = int(n_div_dev)
 
         if callback is not None:
             # Per-chunk callback (the reference's per-draw callback hook,
@@ -583,6 +593,7 @@ def _run_chunked(
             )
             next_checkpoint = done + checkpoint_every
 
+    jax.block_until_ready(states)  # callers time/serialize right after
     return states, outs
 
 
@@ -873,14 +884,24 @@ def sample(
         trace = np.zeros((chains, 0, model_ndim), np.dtype(dtype))
         stats = {name: np.zeros((chains, 0), dt) for name, dt in dtypes.items()}
     else:
-        qs = np.concatenate([np.asarray(jax.device_get(o[0])) for o in outs], axis=0)
-        trace = np.transpose(qs, (1, 0, 2))  # (chains, draws, ndim)
+        # Concatenate chunks on device (cheap) and fetch everything with
+        # ONE batched device_get: per-chunk per-field transfers each pay
+        # a full host round trip (measured: 260 transfers = 8 s of a
+        # 12 s config-1 run on the tunneled dev box).
+        info_fields = outs[0][1]._fields
+
+        def _cat(xs):
+            return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+
+        qs_d = _cat([o[0] for o in outs])
+        stats_d = {name: _cat([getattr(o[1], name) for o in outs])
+                   for name in info_fields}
+        qs, stats_h = jax.device_get((qs_d, stats_d))
+        trace = np.transpose(np.asarray(qs), (1, 0, 2))  # (chains, draws, ndim)
 
         stats = {}
-        info_fields = outs[0][1]._fields
         for name in info_fields:
-            arrays = [np.asarray(jax.device_get(getattr(o[1], name))) for o in outs]
-            arr = np.concatenate(arrays, axis=0).T  # (chains, draws)
+            arr = np.asarray(stats_h[name]).T  # (chains, draws)
             stats[name] = arr.astype(dtypes.get(name, arr.dtype))
 
     expected = draws + (tune if collect_tune else 0)

@@ -31,7 +31,7 @@ def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=
     if pallas and supported and jax.default_backend() == "tpu":
         extra["pallas_trajectory"] = model.pallas_trajectory_spec()
 
-    CHUNK = 50
+    CHUNK = 250
     common = dict(
         logp_dlogp_func=model.logp_grad,
         model_ndim=model.ndim,
