@@ -750,7 +750,13 @@ def build_nuts_kernel(
             # chain count that still blocks into >= 8 rows.
             n_model = start.q.shape[-1]
             # the kernel blocks the per-device chain shard under a mesh
-            C_local = start.q.shape[0] // (mesh.size if mesh is not None else 1)
+            # (chains are sharded over the chain axis only, so divide by
+            # that axis' size, not the whole mesh)
+            n_chain_devs = 1
+            if mesh is not None:
+                n_chain_devs = (mesh.shape[chain_axis]
+                                if chain_axis in mesh.shape else mesh.size)
+            C_local = start.q.shape[0] // n_chain_devs
             pack = 1
             if trajectory_spec.packed_fn is not None and metric == "diag":
                 pack = natural_pack(n_model)

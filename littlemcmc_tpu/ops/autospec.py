@@ -54,6 +54,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import logging
+import threading
 from typing import Callable, Optional
 
 import jax
@@ -164,7 +165,13 @@ def _stable_softplus(x):
 
 def _stable_logaddexp(a, b):
     m = jnp.maximum(a, b)
-    return m + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+    # guard the (-inf, -inf) / (inf, inf) corners: a - b is NaN there,
+    # but logaddexp is just m (matches jnp.logaddexp)
+    return jnp.where(jnp.isinf(m), m,
+                     m + jnp.log1p(jnp.exp(-jnp.abs(a - b))))
+
+
+_patch_lock = threading.RLock()
 
 
 @contextlib.contextmanager
@@ -174,21 +181,24 @@ def mosaic_friendly_calls():
     Active only while tracing (the swapped functions produce identical
     values; only the autodiff *implementation* differs). Used by
     :func:`make_pallas_model_spec`; public so hand-written specs can
-    reuse it.
+    reuse it. Serialized by a process-wide lock — the patches touch
+    module globals, so an unserialized concurrent enter/exit could leave
+    them permanently installed.
     """
     patches = [
         (jax.nn, "log_sigmoid", _stable_log_sigmoid),
         (jax.nn, "softplus", _stable_softplus),
         (jnp, "logaddexp", _stable_logaddexp),
     ]
-    saved = [(mod, name, getattr(mod, name)) for mod, name, _ in patches]
-    try:
-        for mod, name, repl in patches:
-            setattr(mod, name, repl)
-        yield
-    finally:
-        for mod, name, orig in saved:
-            setattr(mod, name, orig)
+    with _patch_lock:
+        saved = [(mod, name, getattr(mod, name)) for mod, name, _ in patches]
+        try:
+            for mod, name, repl in patches:
+                setattr(mod, name, repl)
+            yield
+        finally:
+            for mod, name, orig in saved:
+                setattr(mod, name, orig)
 
 
 def _const_to_2d(c: jax.Array) -> jax.Array:
@@ -334,7 +344,10 @@ def probe_spec(spec: PallasModelSpec, chain_block: int = 8) -> bool:
 
 
 # sample()'s auto-selection cache: one probe per (model callable, ndim).
-@functools.lru_cache(maxsize=64)
+# Small on purpose: each entry pins the callable plus its extracted
+# closure constants (device arrays) for the process lifetime. Define the
+# model function once (not inside a loop) to actually hit this cache.
+@functools.lru_cache(maxsize=8)
 def _cached_auto_spec(user_fn, ndim: int, is_logp_only: bool):
     try:
         if is_logp_only:

@@ -695,9 +695,9 @@ def build_trajectory_op(
     def traj(q, p, grad, logp, eps, max_depth_c, var, seed):
         C = q.shape[0]
         CB = min(chain_block, C)
-        while C % CB or CB % K:
+        while CB >= 1 and (C % CB or CB % K):
             CB //= 2
-        if CB // K < 8:
+        if CB < 1 or CB // K < 8:
             raise ValueError(
                 f"chains={C} has no usable chain-block divisor with >= 8 "
                 f"rows at pack={K}; choose a chain count divisible by "

@@ -311,7 +311,12 @@ def _resolve_chain_keys(random_seed, chains: int):
     pinning ``random_seed=[1, 2, 3, 4]`` gets four independent,
     individually-reproducible streams.
     """
-    if random_seed is not None and not isinstance(random_seed, (int, np.integer)):
+    is_scalar_seed = (
+        random_seed is None
+        or isinstance(random_seed, (int, np.integer))
+        or np.ndim(random_seed) == 0  # 0-d ndarray: a master seed too
+    )
+    if not is_scalar_seed:
         seeds = np.asarray(random_seed).ravel()
         if seeds.size != chains:
             raise ValueError(
@@ -355,6 +360,9 @@ def _supports_host_callbacks() -> bool:
     """
     try:
         jax.jit(lambda: jax.debug.callback(lambda: None))()
+        # flush the async callback: some backends accept the lowering but
+        # fail at execution (the probe must catch that, not sample())
+        jax.effects_barrier()
         return True
     except Exception:
         return False
@@ -869,6 +877,15 @@ def sample(
             final_states, tune_out, draw_out = run(states0)
             jax.block_until_ready(draw_out)
         finally:
+            if live_every:
+                # block_until_ready does not flush pending debug
+                # callbacks; without the barrier the final progress line
+                # can race the sink teardown (sample() is not designed
+                # for concurrent multi-threaded invocation)
+                try:
+                    jax.effects_barrier()
+                except Exception:
+                    pass
             _progress_sink = None
         outs = ([tune_out] if collect_tune else []) + [draw_out]
 

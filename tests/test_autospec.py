@@ -161,3 +161,17 @@ def test_sample_auto_selects_pallas_for_user_model(caplog):
     assert any("Auto-lowered" in r.message for r in caplog.records)
     assert trace.shape == (64, 300, 6)
     assert 0.6 < np.asarray(stats["mean_tree_accept"])[:, -100:].mean() < 0.95
+
+
+def test_stable_logaddexp_infinity_corners():
+    """The Mosaic-friendly logaddexp must match jnp at the inf corners
+    (regression: (-inf, -inf) produced NaN via a - b)."""
+    from littlemcmc_tpu.ops.autospec import _stable_logaddexp
+
+    pairs = jnp.asarray([
+        [-jnp.inf, -jnp.inf], [jnp.inf, jnp.inf], [-jnp.inf, 1.5],
+        [2.0, -jnp.inf], [jnp.inf, 3.0], [0.5, 0.25],
+    ])
+    got = _stable_logaddexp(pairs[:, 0], pairs[:, 1])
+    want = jnp.logaddexp(pairs[:, 0], pairs[:, 1])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)

@@ -359,3 +359,13 @@ def test_live_progress_at_25_draw_granularity(caplog):
     assert any("sampling" in ln for ln in lines)
     done = [int(re.match(r"\s*(\d+)/", ln).group(1)) for ln in lines]
     assert all(b - a <= 25 for a, b in zip(done, done[1:]))
+
+
+def test_zero_d_array_seed_is_master_seed():
+    """random_seed=np.array(42) (0-d) behaves like random_seed=42
+    (regression: the seed-list branch rejected it)."""
+    kwargs = dict(logp_dlogp_func=std_normal_logp_grad, model_ndim=1,
+                  draws=20, tune=20, chains=4, progressbar=False)
+    t_scalar, _ = lmc.sample(random_seed=42, **kwargs)
+    t_0d, _ = lmc.sample(random_seed=np.array(42), **kwargs)
+    np.testing.assert_array_equal(np.asarray(t_scalar), np.asarray(t_0d))

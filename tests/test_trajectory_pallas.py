@@ -353,3 +353,19 @@ def test_pallas_path_checkpoint_resume_bit_identical(tmp_path):
     assert t_resumed.shape == (16, 10, 8)
     np.testing.assert_array_equal(np.asarray(t_resumed),
                                   np.asarray(t_full)[:, -10:, :])
+
+
+def test_unblockable_chain_count_raises_value_error():
+    """Chain counts with no usable block divisor must raise the friendly
+    ValueError, not ZeroDivisionError (regression: CB halved to 0)."""
+    from littlemcmc_tpu.ops import build_trajectory_op
+
+    model = models.StandardNormal(4)
+    spec = model.pallas_trajectory_spec()
+    traj = build_trajectory_op(spec, 4, 4, 1000.0, interpret=True, pack=2)
+    C = 25  # odd: no divisor compatible with K=2
+    q = jnp.zeros((C, 4), jnp.float32)
+    v = jnp.zeros((C,), jnp.float32)
+    with pytest.raises(ValueError, match="chains=25"):
+        traj(q, q, q, v, v + 0.1, jnp.full((C,), 4, jnp.int32),
+             jnp.ones((C, 4), jnp.float32), jnp.int32(0))
