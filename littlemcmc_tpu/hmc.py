@@ -93,14 +93,30 @@ def run_hmc_trajectory(
 
 
 @functools.lru_cache(maxsize=512)
-def build_hmc_kernel(logp_grad_fn: LogpGradFn, config: HMCConfig = HMCConfig()):
+def build_hmc_kernel(logp_grad_fn: LogpGradFn, config: HMCConfig = HMCConfig(),
+                     trajectory_spec=None, mesh=None,
+                     chain_axis: str = "chains",
+                     trajectory_interpret: bool = False):
     """Build the chain-batched HMC transition ``kernel(states, tuning)``.
 
     The per-chain transition (below) is batched with ``vmap`` — HMC's
     trajectory loop has no stack machinery, so ``vmap``'s masked
     while-loop batching is already the right lowering. Memoized on
     ``(logp_grad_fn, config)`` — see ``build_nuts_kernel``.
+
+    ``trajectory_spec`` (a :class:`littlemcmc_tpu.ops.PallasModelSpec`)
+    switches the whole trajectory to the single-kernel Pallas path
+    (:mod:`littlemcmc_tpu.ops.hmc_trajectory_pallas`): the jittered-
+    length leapfrog loop and the Metropolis accept run on core with the
+    model inlined and, for small n, K chains lane-packed per VPU row.
+    Diagonal metrics only; the jittered path length itself is computed
+    in XLA (threefry) so both paths draw identical step counts.
     """
+    if trajectory_spec is not None:
+        return _build_pallas_hmc_kernel(
+            logp_grad_fn, config, trajectory_spec, mesh, chain_axis,
+            trajectory_interpret,
+        )
 
     def kernel(state: ChainState, tuning: jax.Array) -> Tuple[ChainState, HMCInfo]:
         key, k_momentum, k_traj, k_sr = jax.random.split(state.rng_key, 4)
@@ -149,3 +165,116 @@ def build_hmc_kernel(logp_grad_fn: LogpGradFn, config: HMCConfig = HMCConfig()):
         return new_state, info
 
     return jax.vmap(kernel, in_axes=(0, None))
+
+
+def _build_pallas_hmc_kernel(logp_grad_fn, config, trajectory_spec, mesh,
+                             chain_axis, trajectory_interpret):
+    """Batched HMC transition over the Pallas whole-trajectory op."""
+    from .nuts import _diag_inverse_mass, _split_each
+    from .ops.hmc_trajectory_pallas import build_hmc_trajectory_op
+    from .ops.nuts_trajectory_pallas import natural_pack
+    from .step_sizes import dual_average_update
+
+    def kernel(states: ChainState, tuning) -> Tuple[ChainState, HMCInfo]:
+        key_next, k_mom, k_traj, k_sr = _split_each(states.rng_key, 4)
+        dtype = states.q.dtype
+
+        p0 = jax.vmap(lambda pot, k: pot.sample_momentum(k))(states.potential, k_mom)
+        adapting = jnp.logical_and(tuning, config.adapt_step_size)
+        step_size = states.da.current(adapting)  # (C,)
+        if config.step_rand is not None:
+            step_size = jax.vmap(config.step_rand)(step_size, k_sr)
+
+        # Jittered path length in XLA (threefry), identical to the vmap
+        # path's distribution (reference ``hmc.py:141-143``).
+        path_u = jax.vmap(lambda k: jax.random.uniform(k, dtype=dtype))(k_traj)
+        path_length = path_u * config.path_length
+        n_steps = jnp.clip(
+            (path_length / step_size).astype(jnp.int32), 1, config.max_steps
+        )
+
+        var_b = _diag_inverse_mass(states.potential)
+        if var_b is None:
+            raise ValueError(
+                "the Pallas HMC trajectory path requires a diagonal metric "
+                "(QuadPotentialDiag / QuadPotentialDiagAdapt)"
+            )
+
+        n_model = states.q.shape[-1]
+        n_chain_devs = 1
+        if mesh is not None:
+            n_chain_devs = (mesh.shape[chain_axis]
+                            if chain_axis in mesh.shape else mesh.size)
+        C_local = states.q.shape[0] // n_chain_devs
+        pack = 1
+        if trajectory_spec.packed_fn is not None:
+            pack = natural_pack(n_model)
+            while pack > 1 and C_local % (8 * pack) != 0:
+                pack //= 2
+        traj_op = build_hmc_trajectory_op(
+            trajectory_spec, n_model, config.Emax, config.integrator,
+            chain_block=256 * pack if pack > 1 else 512,
+            interpret=trajectory_interpret, pack=pack,
+        )
+        seed = jax.random.key_data(k_traj)[0].astype(jnp.int32)
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec
+
+            Pc = PartitionSpec(chain_axis)
+            Pr = PartitionSpec()
+
+            def traj_local(q, p, g, lp, eps, nst, var, sd):
+                dev = jax.lax.axis_index(chain_axis).astype(jnp.int32)
+                sd = sd + jnp.stack([dev * jnp.int32(1000003), jnp.int32(0)])
+                return traj_op(q, p, g, lp, eps, nst, var, sd)
+
+            traj_call = shard_map(
+                traj_local, mesh=mesh,
+                in_specs=(Pc, Pc, Pc, Pc, Pc, Pc, Pc, Pr),
+                out_specs=Pc, check_vma=False,
+            )
+        else:
+            traj_call = traj_op
+        outs = traj_call(states.q, p0, states.q_grad, states.logp,
+                         step_size, n_steps, var_b, seed)
+
+        q_new = outs["q"].astype(dtype)
+        g_new = outs["grad"].astype(dtype)
+        lp_new = outs["logp"].astype(dtype)
+        accept_stat = outs["accept_stat"].astype(dtype)
+
+        da = dual_average_update(
+            states.da, accept_stat, adapting,
+            target=config.target_accept, gamma=config.gamma,
+            k=config.k, t0=config.t0,
+        )
+        potential = jax.vmap(lambda pot, q, g: pot.update(q, g, tuning))(
+            states.potential, q_new, g_new
+        )
+
+        new_states = ChainState(
+            rng_key=key_next,
+            q=q_new,
+            q_grad=g_new,
+            logp=lp_new,
+            potential=potential,
+            da=da,
+            iter_count=states.iter_count + 1,
+        )
+        info = HMCInfo(
+            step_size=jnp.exp(da.log_step),
+            n_steps=n_steps,
+            tune=jnp.broadcast_to(tuning, accept_stat.shape),
+            step_size_bar=jnp.exp(da.log_bar),
+            accept=accept_stat,
+            diverging=outs["diverging"],
+            energy_error=outs["energy_change"].astype(dtype),
+            energy=outs["energy"].astype(dtype),
+            path_length=path_length,
+            accepted=outs["accepted"],
+            model_logp=outs["logp_end"].astype(dtype),
+        )
+        return new_states, info
+
+    return kernel

@@ -198,8 +198,15 @@ class HamiltonianMC(_StepSpec):
         path_length: float = 2.0,
         max_steps: int = 1024,
         integrator: str = "leapfrog",
+        pallas_trajectory=None,
+        pallas_interpret: bool = False,
     ):
         super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
+        # Optional littlemcmc_tpu.ops.PallasModelSpec: run the jittered
+        # leapfrog trajectory + Metropolis accept as one Pallas TPU
+        # kernel (diagonal metrics; small-n models lane-packed).
+        self.pallas_trajectory = pallas_trajectory
+        self.pallas_interpret = bool(pallas_interpret)
         self.config = HMCConfig(
             target_accept=float(target_accept),
             Emax=float(Emax),
@@ -216,8 +223,11 @@ class HamiltonianMC(_StepSpec):
 
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
                      chain_axis: str = "chains", pooled_metric: bool = False):
-        del mesh, chain_axis, pooled_metric  # no pallas_call to partition
-        return build_hmc_kernel(logp_grad_fn, self.config)
+        del pooled_metric  # HMC has no pooled-dense pallas path
+        return build_hmc_kernel(
+            logp_grad_fn, self.config, self.pallas_trajectory, mesh,
+            chain_axis, trajectory_interpret=self.pallas_interpret,
+        )
 
 
 def _make_adaptive_potential(ndim: int, mean: jax.Array, full: bool, dtype):
