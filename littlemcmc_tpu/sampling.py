@@ -34,6 +34,7 @@ from .hmc import build_hmc_kernel
 from .model import as_logp_grad
 from .nuts import build_nuts_kernel
 from .quadpotential import (
+    QuadPotentialDiag,
     QuadPotentialDiagAdapt,
     QuadPotentialFullAdapt,
     isquadpotential,
@@ -119,7 +120,7 @@ class NUTS(_StepSpec):
         early_max_treedepth: int = 8,
         integrator: str = "leapfrog",
         batched_logp_dlogp_func=None,
-        pallas_trajectory=None,
+        pallas_trajectory="auto",
         pallas_interpret: bool = False,
     ):
         super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
@@ -152,9 +153,12 @@ class NUTS(_StepSpec):
 
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
                      chain_axis: str = "chains", pooled_metric: bool = False):
+        spec = self.pallas_trajectory
+        if isinstance(spec, str):  # unresolved "auto": XLA tree
+            spec = None
         return build_nuts_kernel(
             logp_grad_fn, self.config, self.batched_logp_dlogp_func,
-            self.pallas_trajectory, mesh, chain_axis, pooled_metric,
+            spec, mesh, chain_axis, pooled_metric,
             trajectory_interpret=self.pallas_interpret,
         )
 
@@ -198,7 +202,7 @@ class HamiltonianMC(_StepSpec):
         path_length: float = 2.0,
         max_steps: int = 1024,
         integrator: str = "leapfrog",
-        pallas_trajectory=None,
+        pallas_trajectory="auto",
         pallas_interpret: bool = False,
     ):
         super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
@@ -224,8 +228,11 @@ class HamiltonianMC(_StepSpec):
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
                      chain_axis: str = "chains", pooled_metric: bool = False):
         del pooled_metric  # HMC has no pooled-dense pallas path
+        spec = self.pallas_trajectory
+        if isinstance(spec, str):  # unresolved "auto": XLA tree
+            spec = None
         return build_hmc_kernel(
-            logp_grad_fn, self.config, self.pallas_trajectory, mesh,
+            logp_grad_fn, self.config, spec, mesh,
             chain_axis, trajectory_interpret=self.pallas_interpret,
         )
 
@@ -712,11 +719,18 @@ def sample(
     jitter = init_l.startswith("jitter")
     full = init_l.endswith("adapt_full")
     if step is None:
-        # Fast-by-default: when the model is a model-zoo object (its bound
-        # logp_grad carries a pallas_trajectory_spec), the run is on TPU
-        # with a diagonal metric and float32, select the whole-trajectory
-        # Pallas kernel automatically. `pallas_trajectory=None` in kwargs
-        # explicitly forces the XLA tree.
+        step = NUTS(model_ndim=model_ndim, **kwargs)
+
+    # --- Resolve the "auto" Pallas fast path ----------------------------
+    # Fast-by-default for NUTS *and* HamiltonianMC: when the run is on
+    # TPU with a diagonal metric and float32, select the whole-trajectory
+    # Pallas kernel automatically — the model-zoo spec when the bound
+    # logp_grad carries one, otherwise an auto-lowered spec for any
+    # traceable user model (trace -> extract consts -> Mosaic probe; any
+    # failure falls back to the XLA tree with an info log, honoring the
+    # reference's "bring your own logp" contract, quickstart.rst:37-49).
+    # `pallas_trajectory=None` explicitly forces the XLA tree.
+    if getattr(step, "pallas_trajectory", None) == "auto":
         from .ops.nuts_trajectory_pallas import usable_chain_count
 
         # the kernel blocks the *per-device* chain shard under a mesh
@@ -726,45 +740,45 @@ def sample(
             if mesh is not None else chains
         )
         usable_block = local_chains >= 1 and usable_chain_count(local_chains)
+        diag_metric = (
+            (step.potential is None and not full)
+            or isinstance(step.potential, (QuadPotentialDiag,
+                                           QuadPotentialDiagAdapt))
+        )
+        spec = None
         if (
-            "pallas_trajectory" not in kwargs
-            and model_axis is None  # model-sharded runs stay on the XLA tree
-            and not full
-            and "scaling" not in kwargs  # could be a dense metric
-            and "potential" not in kwargs
+            model_axis is None  # model-sharded runs stay on the XLA tree
+            and diag_metric
             and usable_block  # kernel needs a chain-block divisor >= 8
             and jnp.dtype(dtype) == jnp.float32
+            and not step.pallas_interpret  # interpret users pass a spec
             and jax.default_backend() == "tpu"
         ):
             owner = getattr(logp_dlogp_func, "__self__", None)
             spec_fn = getattr(owner, "pallas_trajectory_spec", None)
             if spec_fn is not None:
-                kwargs["pallas_trajectory"] = spec_fn()
+                spec = spec_fn()
                 _log.info(
                     "Using the whole-trajectory Pallas kernel for %s "
                     "(pass pallas_trajectory=None to disable).",
                     type(owner).__name__,
                 )
             else:
-                # Arbitrary user model: attempt auto-lowering into the
-                # trajectory kernel (trace -> extract consts -> Mosaic
-                # probe); any failure falls back to the XLA tree with an
-                # info log. This honors the reference's "bring your own
-                # logp" contract (quickstart.rst:37-49) on the fast path.
                 from .ops.autospec import try_auto_spec
 
                 user_fn = logp_dlogp_func if logp_dlogp_func is not None else logp_fn
-                spec = try_auto_spec(
-                    user_fn, model_ndim, is_logp_only=logp_dlogp_func is None
-                )
-                if spec is not None:
-                    kwargs["pallas_trajectory"] = spec
-                    _log.info(
-                        "Auto-lowered the model into the whole-trajectory "
-                        "Pallas kernel (pass pallas_trajectory=None to "
-                        "disable)."
+                if user_fn is not None:
+                    spec = try_auto_spec(
+                        user_fn, model_ndim,
+                        is_logp_only=logp_dlogp_func is None,
                     )
-        step = NUTS(model_ndim=model_ndim, **kwargs)
+                    if spec is not None:
+                        _log.info(
+                            "Auto-lowered the model into the whole-"
+                            "trajectory Pallas kernel (pass "
+                            "pallas_trajectory=None to disable)."
+                        )
+        step.pallas_trajectory = spec
 
     # --- Per-chain starting points --------------------------------------
     if start is not None:
