@@ -827,19 +827,35 @@ def sample(
                     f"{model_axis!r} mesh axis size ({m_devs})"
                 )
 
-            def _shard(x):
-                # O(n^2) metric matrices (C, n, n): rows over the model
-                # axis. Everything else: chain-sharded, model-replicated.
-                if jnp.ndim(x) >= 3 and x.shape[-1] == x.shape[-2] == model_ndim:
-                    spec = P(chain_axis, model_axis)
-                else:
-                    spec = P(chain_axis)
-                return jax.device_put(x, NamedSharding(mesh, spec))
+        multi_process = jax.process_count() > 1
 
-            states0 = jax.tree.map(_shard, states0)
-        else:
-            sharding = NamedSharding(mesh, P(chain_axis))
-            states0 = jax.tree.map(lambda x: jax.device_put(x, sharding), states0)
+        def _put(x, spec):
+            sh = NamedSharding(mesh, spec)
+            if not multi_process:
+                return jax.device_put(x, sh)
+            # Multi-host: the init computed the FULL batch identically on
+            # every process (same seeds), so each process can serve its
+            # addressable shards from its local copy.
+            xh = np.asarray(x)
+            return jax.make_array_from_callback(xh.shape, sh,
+                                                lambda idx: xh[idx])
+
+        def _shard(x):
+            # O(n^2) metric matrices (C, n, n): rows over the model axis.
+            # Everything else: chain-sharded, replicated elsewhere.
+            if (model_axis is not None and jnp.ndim(x) >= 3
+                    and x.shape[-1] == x.shape[-2] == model_ndim):
+                spec = P(chain_axis, model_axis)
+            else:
+                spec = P(chain_axis)
+            if multi_process and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                # typed PRNG keys can't round-trip through numpy: shard
+                # the raw key words and rewrap
+                raw = _put(jax.random.key_data(x), spec)
+                return jax.random.wrap_key_data(raw)
+            return _put(x, spec)
+
+        states0 = jax.tree.map(_shard, states0)
 
     # Fail fast on a bad initial point, like the reference's "Bad initial
     # energy" check (``base_hmc.py:145-148``) but for all chains at once.
@@ -937,7 +953,14 @@ def sample(
         qs_d = _cat([o[0] for o in outs])
         stats_d = {name: _cat([getattr(o[1], name) for o in outs])
                    for name in info_fields}
-        qs, stats_h = jax.device_get((qs_d, stats_d))
+        if jax.process_count() > 1:
+            # multi-host: shards live on other processes; gather over DCN
+            from jax.experimental import multihost_utils
+
+            qs, stats_h = multihost_utils.process_allgather(
+                (qs_d, stats_d), tiled=True)
+        else:
+            qs, stats_h = jax.device_get((qs_d, stats_d))
         trace = np.transpose(np.asarray(qs), (1, 0, 2))  # (chains, draws, ndim)
 
         stats = {}
