@@ -19,7 +19,8 @@ sys.path.insert(0, REPO)
 
 
 def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=42,
-               target_accept=0.8, pallas=True, **sample_kwargs):
+               target_accept=0.8, pallas=True, step_method="nuts",
+               **sample_kwargs):
     import jax
     import littlemcmc_tpu as lmc
     from littlemcmc_tpu.utils.diagnostics import ess_bulk, split_rhat
@@ -30,6 +31,10 @@ def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=
     supported = "full" not in init or extra.get("cross_chain_adapt", False)
     if pallas and supported and jax.default_backend() == "tpu":
         extra["pallas_trajectory"] = model.pallas_trajectory_spec()
+    if step_method == "hmc":
+        extra["step"] = lmc.HamiltonianMC(
+            model_ndim=model.ndim, target_accept=target_accept,
+            pallas_trajectory=extra.pop("pallas_trajectory", "auto"))
 
     CHUNK = 250
     common = dict(
@@ -67,8 +72,11 @@ def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=
         "ess_per_sec_min_dim": round(float(np.nanmin(ess) / wall), 1),
         "max_rhat": round(float(np.nanmax(rhat)), 4),
         "divergence_rate": round(float(stats["diverging"].mean()), 5),
-        "mean_depth": round(float(stats["depth"].mean()), 2),
-        "mean_accept": round(float(stats["mean_tree_accept"].mean()), 3),
+        "mean_depth": round(float(
+            (stats["depth"] if "depth" in stats else stats["n_steps"]).mean()), 2),
+        "mean_accept": round(float(
+            (stats["mean_tree_accept"] if "mean_tree_accept" in stats
+             else stats["accept"]).mean()), 3),
     }
     if getattr(model, "true_var", None) is not None:
         var = trace.reshape(-1, ndim).var(axis=0)
@@ -121,6 +129,12 @@ def main():
         # Hierarchical geometry: the default 0.8 yields ~20% divergent
         # transitions and a biased posterior; 0.95 brings it under 2%.
         target_accept=0.95,
+    )
+    results["eight_schools_hmc"] = run_config(
+        "Eight schools, classic HMC via the Pallas HMC kernel (C19)",
+        models.EightSchools(),
+        chains=10240 // scale, tune=500 // scale, draws=500 // scale,
+        target_accept=0.95, step_method="hmc",
     )
 
     meta = {
