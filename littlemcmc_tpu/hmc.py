@@ -110,7 +110,8 @@ def build_hmc_kernel(logp_grad_fn: LogpGradFn, config: HMCConfig = HMCConfig(),
     length leapfrog loop and the Metropolis accept run on core with the
     model inlined and, for small n, K chains lane-packed per VPU row.
     Diagonal metrics only; the jittered path length itself is computed
-    in XLA (threefry) so both paths draw identical step counts.
+    in XLA (threefry) so both paths draw identically *distributed* step
+    counts (different key-consumption order, so not bitwise-equal draws).
     """
     if trajectory_spec is not None:
         return _build_pallas_hmc_kernel(
@@ -172,7 +173,7 @@ def _build_pallas_hmc_kernel(logp_grad_fn, config, trajectory_spec, mesh,
     """Batched HMC transition over the Pallas whole-trajectory op."""
     from .nuts import _diag_inverse_mass, _split_each
     from .ops.hmc_trajectory_pallas import build_hmc_trajectory_op
-    from .ops.nuts_trajectory_pallas import natural_pack
+    from .ops.nuts_trajectory_pallas import resolve_pack
     from .step_sizes import dual_average_update
 
     def kernel(states: ChainState, tuning) -> Tuple[ChainState, HMCInfo]:
@@ -206,11 +207,7 @@ def _build_pallas_hmc_kernel(logp_grad_fn, config, trajectory_spec, mesh,
             n_chain_devs = (mesh.shape[chain_axis]
                             if chain_axis in mesh.shape else mesh.size)
         C_local = states.q.shape[0] // n_chain_devs
-        pack = 1
-        if trajectory_spec.packed_fn is not None:
-            pack = natural_pack(n_model)
-            while pack > 1 and C_local % (8 * pack) != 0:
-                pack //= 2
+        pack = resolve_pack(trajectory_spec, n_model, C_local)
         traj_op = build_hmc_trajectory_op(
             trajectory_spec, n_model, config.Emax, config.integrator,
             chain_block=256 * pack if pack > 1 else 512,

@@ -742,26 +742,22 @@ def build_nuts_kernel(
                     )
                 metric = "dense"
             from .ops.nuts_trajectory_pallas import (build_trajectory_op,
-                                                     natural_pack)
+                                                     resolve_pack)
 
             # Lane packing: small-n models share 128-lane rows between
             # K chains (the VPU otherwise idles ~90% of each vector op
             # at n ~ 10). Requires a packed_fn, a diagonal metric, and a
-            # chain count that still blocks into >= 8 rows.
+            # chain count that still blocks into >= 8 rows. The kernel
+            # blocks the per-device chain shard under a mesh (chains are
+            # sharded over the chain axis only).
             n_model = start.q.shape[-1]
-            # the kernel blocks the per-device chain shard under a mesh
-            # (chains are sharded over the chain axis only, so divide by
-            # that axis' size, not the whole mesh)
             n_chain_devs = 1
             if mesh is not None:
                 n_chain_devs = (mesh.shape[chain_axis]
                                 if chain_axis in mesh.shape else mesh.size)
             C_local = start.q.shape[0] // n_chain_devs
-            pack = 1
-            if trajectory_spec.packed_fn is not None and metric == "diag":
-                pack = natural_pack(n_model)
-                while pack > 1 and C_local % (8 * pack) != 0:
-                    pack //= 2
+            pack = (resolve_pack(trajectory_spec, n_model, C_local)
+                    if metric == "diag" else 1)
             traj_op = build_trajectory_op(
                 trajectory_spec,
                 n_model,

@@ -16,7 +16,8 @@ exact-f32 + ``finite()``-clamped indicator dots for packed segment math.
 
 Semantics replayed from the reference (``hmc.py:140-182``): per-chain
 ``n_steps`` is computed by the XLA wrapper (jittered path length over
-threefry, identical to the XLA path); each chain integrates exactly its
+threefry, identically distributed to the XLA path's draw — different
+key-consumption order, so not bitwise-equal); each chain integrates its
 own ``n_steps`` leapfrogs (lanes past their count are frozen);
 divergence on non-finite end energy or ``|ΔE| > Emax`` with NaN ⇒ −inf
 energy change (``hmc.py:151-162``); accept w.p. ``min(1, exp(ΔE))``.

@@ -609,6 +609,18 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
     return kernel
 
 
+def resolve_pack(spec: "PallasModelSpec", n: int, local_chains: int) -> int:
+    """Lane-pack factor for a run: ``natural_pack`` demoted until the
+    per-device chain shard still blocks into >= 8 rows. Shared by the
+    NUTS and HMC kernel builders."""
+    pack = 1
+    if spec.packed_fn is not None:
+        pack = natural_pack(n)
+        while pack > 1 and local_chains % (8 * pack) != 0:
+            pack //= 2
+    return pack
+
+
 def natural_pack(n: int, max_pack: int = 16) -> int:
     """Largest lane-packing factor for an ``n``-parameter model.
 

@@ -45,6 +45,9 @@ __all__ = ["NUTS", "HamiltonianMC", "sample", "init_nuts"]
 
 _log = logging.getLogger("littlemcmc_tpu")
 
+# build_kernel sentinel: "use the spec stored on the step"
+_PALLAS_UNSET = object()
+
 LogpGradFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
 
 
@@ -152,8 +155,10 @@ class NUTS(_StepSpec):
         )
 
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
-                     chain_axis: str = "chains", pooled_metric: bool = False):
-        spec = self.pallas_trajectory
+                     chain_axis: str = "chains", pooled_metric: bool = False,
+                     pallas_trajectory=_PALLAS_UNSET):
+        spec = (self.pallas_trajectory if pallas_trajectory is _PALLAS_UNSET
+                else pallas_trajectory)
         if isinstance(spec, str):  # unresolved "auto": XLA tree
             spec = None
         return build_nuts_kernel(
@@ -226,9 +231,11 @@ class HamiltonianMC(_StepSpec):
         )
 
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
-                     chain_axis: str = "chains", pooled_metric: bool = False):
+                     chain_axis: str = "chains", pooled_metric: bool = False,
+                     pallas_trajectory=_PALLAS_UNSET):
         del pooled_metric  # HMC has no pooled-dense pallas path
-        spec = self.pallas_trajectory
+        spec = (self.pallas_trajectory if pallas_trajectory is _PALLAS_UNSET
+                else pallas_trajectory)
         if isinstance(spec, str):  # unresolved "auto": XLA tree
             spec = None
         return build_hmc_kernel(
@@ -720,6 +727,12 @@ def sample(
     full = init_l.endswith("adapt_full")
     if step is None:
         step = NUTS(model_ndim=model_ndim, **kwargs)
+    elif kwargs:
+        # the reference likewise forwards **kwargs to the step only when
+        # it constructs one (sampling.py:148-159) — but silently; warn.
+        _log.warning(
+            "`step` was provided; ignoring step-method kwargs: %s "
+            "(set them on the step constructor instead)", sorted(kwargs))
 
     # --- Resolve the "auto" Pallas fast path ----------------------------
     # Fast-by-default for NUTS *and* HamiltonianMC: when the run is on
@@ -730,6 +743,7 @@ def sample(
     # failure falls back to the XLA tree with an info log, honoring the
     # reference's "bring your own logp" contract, quickstart.rst:37-49).
     # `pallas_trajectory=None` explicitly forces the XLA tree.
+    resolved_pallas = _PALLAS_UNSET
     if getattr(step, "pallas_trajectory", None) == "auto":
         from .ops.nuts_trajectory_pallas import usable_chain_count
 
@@ -754,7 +768,9 @@ def sample(
             and not step.pallas_interpret  # interpret users pass a spec
             and jax.default_backend() == "tpu"
         ):
-            owner = getattr(logp_dlogp_func, "__self__", None)
+            bound_fn = (logp_dlogp_func if logp_dlogp_func is not None
+                        else getattr(step, "logp_dlogp_func", None))
+            owner = getattr(bound_fn, "__self__", None)
             spec_fn = getattr(owner, "pallas_trajectory_spec", None)
             if spec_fn is not None:
                 spec = spec_fn()
@@ -766,11 +782,11 @@ def sample(
             else:
                 from .ops.autospec import try_auto_spec
 
-                user_fn = logp_dlogp_func if logp_dlogp_func is not None else logp_fn
+                user_fn = bound_fn if bound_fn is not None else logp_fn
                 if user_fn is not None:
                     spec = try_auto_spec(
                         user_fn, model_ndim,
-                        is_logp_only=logp_dlogp_func is None,
+                        is_logp_only=bound_fn is None,
                     )
                     if spec is not None:
                         _log.info(
@@ -778,7 +794,9 @@ def sample(
                             "trajectory Pallas kernel (pass "
                             "pallas_trajectory=None to disable)."
                         )
-        step.pallas_trajectory = spec
+        # NOT stored on the step: 'auto' re-resolves per call (the step
+        # may be reused with a different backend or chain count)
+        resolved_pallas = spec
 
     # --- Per-chain starting points --------------------------------------
     if start is not None:
@@ -870,7 +888,8 @@ def sample(
     # The pallas trajectory op (if any) must be shard_map-wrapped over a
     # multi-device mesh: GSPMD cannot auto-partition a pallas_call.
     kernel = step.build_kernel(logp_grad, mesh=mesh, chain_axis=chain_axis,
-                               pooled_metric=cross_chain_adapt)
+                               pooled_metric=cross_chain_adapt,
+                               pallas_trajectory=resolved_pallas)
     collect_tune = not discard_tuned_samples
 
     if progressbar:
@@ -888,6 +907,12 @@ def sample(
         and (tune + draws) > _AUTO_CHUNK
     )
 
+    if (checkpoint_dir or resume) and jax.process_count() > 1:
+        raise NotImplementedError(
+            "checkpoint/resume under multi-process (multi-host) runs needs "
+            "an orbax multihost setup; save_checkpoint cannot fetch arrays "
+            "whose shards live on other processes."
+        )
     if progress_every or checkpoint_dir or resume or callback or auto_chunk:
         final_states, outs = _run_chunked(
             kernel, states0, tune, draws, collect_tune, cross_chain_adapt,

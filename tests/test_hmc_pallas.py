@@ -59,11 +59,13 @@ def test_interpret_hmc_trajectory_matches_direct():
 def test_interpret_hmc_e2e_posterior_parity():
     """sample() through the Pallas HMC kernel matches the XLA HMC path."""
     m = models.CorrelatedGaussian(16)
+    # target_accept rides on the step constructors: sample() ignores
+    # step-method kwargs when an explicit step is given (warns)
     kw = dict(logp_dlogp_func=m.logp_grad, model_ndim=16, chains=32,
-              tune=300, draws=600, random_seed=5, progressbar=False,
-              target_accept=0.7)
-    tr_p, st_p = lmc.sample(step=_pallas_hmc_step(m), **kw)
-    tr_x, st_x = lmc.sample(step=lmc.HamiltonianMC(model_ndim=16), **kw)
+              tune=300, draws=600, random_seed=5, progressbar=False)
+    tr_p, st_p = lmc.sample(step=_pallas_hmc_step(m, target_accept=0.7), **kw)
+    tr_x, st_x = lmc.sample(
+        step=lmc.HamiltonianMC(model_ndim=16, target_accept=0.7), **kw)
     vr_p = tr_p.reshape(-1, 16).var(0) / m.true_var
     vr_x = tr_x.reshape(-1, 16).var(0) / m.true_var
     assert vr_p.min() > 0.8 and vr_p.max() < 1.25

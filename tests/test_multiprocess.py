@@ -66,18 +66,25 @@ def test_two_process_distributed_sampling(tmp_path):
 
     procs = []
     logs = []
-    for pid in (0, 1):
-        env = dict(os.environ, LMC_MP_PROC=str(pid))
-        env.pop("PYTEST_CURRENT_TEST", None)
-        log = open(tmp_path / f"worker{pid}.log", "w+")
-        logs.append(log)
-        procs.append(subprocess.Popen([sys.executable, str(script)],
-                                      env=env, stdout=log,
-                                      stderr=subprocess.STDOUT))
-    codes = [p.wait(timeout=540) for p in procs]
-    outputs = []
-    for log in logs:
-        log.seek(0)
-        outputs.append(log.read())
+    try:
+        for pid in (0, 1):
+            env = dict(os.environ, LMC_MP_PROC=str(pid))
+            env.pop("PYTEST_CURRENT_TEST", None)
+            log = open(tmp_path / f"worker{pid}.log", "w+")
+            logs.append(log)
+            procs.append(subprocess.Popen([sys.executable, str(script)],
+                                          env=env, stdout=log,
+                                          stderr=subprocess.STDOUT))
+        codes = [p.wait(timeout=540) for p in procs]
+    finally:
+        for p_ in procs:  # a hung coordinator must not orphan workers
+            if p_.poll() is None:
+                p_.kill()
+                p_.wait(timeout=30)
+        outputs = []
+        for log in logs:
+            log.seek(0)
+            outputs.append(log.read())
+            log.close()
     assert codes == [0, 0], "\n".join(outputs)[-4000:]
     assert "proc 0: OK" in outputs[0]

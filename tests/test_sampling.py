@@ -369,3 +369,20 @@ def test_zero_d_array_seed_is_master_seed():
     t_scalar, _ = lmc.sample(random_seed=42, **kwargs)
     t_0d, _ = lmc.sample(random_seed=np.array(42), **kwargs)
     np.testing.assert_array_equal(np.asarray(t_scalar), np.asarray(t_0d))
+
+
+def test_step_reuse_does_not_freeze_auto_resolution():
+    """sample() must not mutate the step's pallas_trajectory='auto'
+    (regression: the first call's resolution was stored on the step,
+    so reuse with a different backend/chain count misbehaved)."""
+    step = lmc.NUTS(model_ndim=1)
+    assert step.pallas_trajectory == "auto"
+    lmc.sample(logp_dlogp_func=std_normal_logp_grad, model_ndim=1,
+               draws=20, tune=20, chains=4, random_seed=0, step=step,
+               progressbar=False)
+    assert step.pallas_trajectory == "auto"  # re-resolved per call
+    # and reuse still works
+    t2, _ = lmc.sample(logp_dlogp_func=std_normal_logp_grad, model_ndim=1,
+                       draws=20, tune=20, chains=2, random_seed=0, step=step,
+                       progressbar=False)
+    assert t2.shape == (2, 20, 1)
