@@ -102,15 +102,21 @@ def _safe_dot_general(a, b, *, dimension_numbers, **params):
     import jax.lax as lax
 
     (lc, rc), (lb, rb) = dimension_numbers
+    # The rewritten rank-1 dots are forced to exact f32: XLA evaluates
+    # rank-1 contractions as exact multiply-reduces even at default
+    # precision, while the Mosaic MXU truncates their inputs to bf16 —
+    # measured 5e-2 relative gradient error on constant-cotangent grads
+    # (e.g. grad of sum(y * (X @ b))). They are tiny, so this is free.
+    exact = dict(params, precision=lax.Precision.HIGHEST)
     if a.ndim == 1 and not lb and tuple(lc) == (0,):
         out = lax.dot_general(
             a.reshape(1, a.shape[0]), b,
-            dimension_numbers=(((1,), tuple(rc)), ((), ())), **params)
+            dimension_numbers=(((1,), tuple(rc)), ((), ())), **exact)
         return out.reshape(out.shape[1:])
     if b.ndim == 1 and not rb and tuple(rc) == (0,):
         out = lax.dot_general(
             a, b.reshape(b.shape[0], 1),
-            dimension_numbers=((tuple(lc), (0,)), ((), ())), **params)
+            dimension_numbers=((tuple(lc), (0,)), ((), ())), **exact)
         return out.reshape(out.shape[:-1])
     return lax.dot_general(a, b, dimension_numbers=dimension_numbers, **params)
 

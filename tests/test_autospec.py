@@ -175,3 +175,39 @@ def test_stable_logaddexp_infinity_corners():
     got = _stable_logaddexp(pairs[:, 0], pairs[:, 1])
     want = jnp.logaddexp(pairs[:, 0], pairs[:, 1])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+@requires_tpu
+def test_probe_matrix_model_breadth():
+    """The auto-lowering probe matrix: common likelihood shapes must all
+    lower through Mosaic (each probe is a ~0.5 s compile+value check).
+    This is the breadth guarantee behind 'bring your own logp'."""
+    from littlemcmc_tpu.ops import probe_spec
+
+    n = 3
+    X = jnp.asarray(np.random.RandomState(0).randn(50, n), jnp.float32)
+    y = jnp.asarray((np.random.RandomState(1).rand(50) > 0.5), jnp.float32)
+    matrix = {
+        "gaussian_quadratic": lambda b: -0.5 * jnp.sum((X @ b) ** 2),
+        "logistic": lambda b: jnp.sum(
+            y * jax.nn.log_sigmoid(X @ b)
+            + (1 - y) * jax.nn.log_sigmoid(-(X @ b))) - 0.5 * jnp.sum(b**2),
+        "poisson_loglink": lambda b: jnp.sum(
+            y * (X @ b) - jnp.exp(jnp.clip(X @ b, -10, 10))),
+        "student_t": lambda b: -jnp.sum(2.0 * jnp.log1p((X @ b) ** 2 / 4.0)),
+        "laplace_prior": lambda b: jnp.sum(
+            y * (X @ b)) - jnp.sum(jnp.abs(b)) - 0.05 * jnp.sum((X @ b) ** 2),
+        "hierarchical_ncp": lambda b: (
+            -0.5 * b[0] ** 2
+            - 0.5 * jnp.sum((b[1:] - b[0]) ** 2 * jnp.exp(-b[0]))),
+        "softplus_link": lambda b: -jnp.sum(
+            (y - jax.nn.softplus(X @ b)) ** 2) - 0.5 * jnp.sum(b**2),
+        "piecewise": lambda b: jnp.sum(
+            jnp.where(X @ b > 0, -(X @ b) ** 2, X @ b)) * 0.1,
+    }
+    failures = []
+    for name, f in matrix.items():
+        spec = make_pallas_model_spec(ndim=n, logp_fn=f)
+        if not probe_spec(spec):
+            failures.append(name)
+    assert not failures, f"models failed the Mosaic probe: {failures}"
