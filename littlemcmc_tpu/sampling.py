@@ -684,6 +684,12 @@ def sample(
     - ``cross_chain_adapt``: pool Welford mass-matrix statistics across
       *all* chains each tuning step (collectives over the mesh) — a
       strict extension the reference's per-process chains cannot do.
+    - ``callback``: invoked between compiled chunks with
+      ``(iteration, tuning, states, chunk, n_divergences)`` — the
+      reference's per-draw hook (``sampling.py:307-308``) amortized over
+      the chunk. For the strict per-draw contract set
+      ``progress_every=1`` (one compiled step per call; pays a dispatch
+      round trip per draw — fine for debugging, not for throughput).
     - models must be JAX-traceable; wrap host callables with
       :func:`littlemcmc_tpu.model.from_numpy_callable`.
 
