@@ -45,9 +45,10 @@ def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=
         random_seed=seed,
         progressbar=False,
         progress_every=CHUNK,  # chunked: required for long runs on remote TPU
-        target_accept=target_accept,
         **extra,
     )
+    if "step" not in extra:  # explicit steps carry their own target_accept
+        common["target_accept"] = target_accept
     # Warm-up: compile the init fn and both chunk programs (same chunk
     # size as the timed run, so the jit caches are hot). Untimed.
     lmc.sample(tune=CHUNK, draws=CHUNK, **common)

@@ -109,11 +109,11 @@ def test_pallas_hmc_requires_diag_metric():
 @requires_tpu
 def test_tpu_hmc_pallas_posterior():
     m = models.EightSchools()
-    step = lmc.HamiltonianMC(model_ndim=10,
+    step = lmc.HamiltonianMC(model_ndim=10, target_accept=0.9,
                              pallas_trajectory=m.pallas_trajectory_spec())
     tr, st = lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=10,
                         chains=256, tune=400, draws=800, random_seed=6,
-                        step=step, progressbar=False, target_accept=0.9)
+                        step=step, progressbar=False)
     mu = tr[:, :, 0]
     assert 3.0 < mu.mean() < 6.5  # reference: 4.55 +- 3.2
     assert np.asarray(st["diverging"]).mean() < 0.05

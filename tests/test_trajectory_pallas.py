@@ -192,13 +192,13 @@ def test_packed_e2e_sample_with_consts():
     tracers through the build_trajectory_op cache.
     """
     m = models.EightSchools()
-    step = lmc.NUTS(model_ndim=10,
+    step = lmc.NUTS(model_ndim=10, target_accept=0.9,
                     pallas_trajectory=m.pallas_trajectory_spec(),
                     pallas_interpret=True)
     # chains=64 -> pack=8 (8 rows of 8 chains)
     tr, st = lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=10,
                         chains=64, tune=100, draws=150, random_seed=4,
-                        step=step, progressbar=False, target_accept=0.9)
+                        step=step, progressbar=False)
     assert tr.shape == (64, 150, 10)
     assert 0.5 < np.asarray(st["mean_tree_accept"])[:, -50:].mean() < 0.99
 
