@@ -914,10 +914,12 @@ def sample(
     )
 
     if (checkpoint_dir or resume) and jax.process_count() > 1:
-        raise NotImplementedError(
-            "checkpoint/resume under multi-process (multi-host) runs needs "
-            "an orbax multihost setup; save_checkpoint cannot fetch arrays "
-            "whose shards live on other processes."
+        # Orbax handles the distributed save (every process writes its
+        # addressable shards — the chunked loop below runs identically on
+        # all processes), but only through a shared filesystem.
+        _log.info(
+            "Multi-process checkpointing: %r must be on a filesystem "
+            "shared by all %d processes.", checkpoint_dir, jax.process_count(),
         )
     if progress_every or checkpoint_dir or resume or callback or auto_chunk:
         final_states, outs = _run_chunked(

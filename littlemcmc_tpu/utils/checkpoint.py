@@ -6,6 +6,15 @@ state — positions, cached model evals, Welford buffers, dual-averaging
 state, PRNG keys, iteration counters — is one pytree (``ChainState``), so
 snapshot/restore is a single Orbax call and a killed run can resume
 mid-tuning with bit-identical continuation.
+
+Multi-process (multi-host) runs are supported: every process calls
+:func:`save_checkpoint` with the globally-sharded state (the sampler's
+host loop runs identically on every process), Orbax writes each
+process's addressable shards, and process 0 writes the metadata.
+``directory`` must be on a filesystem shared by all processes.
+
+Typed PRNG keys are stored as their raw key data (Orbax cannot serialize
+extended dtypes); :func:`restore_checkpoint` rewraps them.
 """
 
 from __future__ import annotations
@@ -26,16 +35,47 @@ def _ckpt_path(directory: str, step: int) -> str:
     return os.path.join(os.path.abspath(directory), f"step_{step:08d}")
 
 
+def _is_key(x) -> bool:
+    try:
+        return jax.numpy.issubdtype(x.dtype, jax.dtypes.prng_key)
+    except Exception:
+        return False
+
+
+def _unkey(tree):
+    """Typed PRNG key leaves -> raw uint32 key data (serializable)."""
+    return jax.tree.map(
+        lambda x: jax.random.key_data(x) if _is_key(x) else x, tree
+    )
+
+
+def _rekey(tree, template):
+    """Rewrap raw key data wherever the template holds a typed key."""
+    return jax.tree.map(
+        lambda t, x: jax.random.wrap_key_data(x) if _is_key(t) else x,
+        template, tree,
+    )
+
+
 def save_checkpoint(directory: str, states, step: int, meta: Optional[Dict[str, Any]] = None) -> str:
     """Snapshot a chain-state pytree (and JSON metadata) at ``step``."""
     import orbax.checkpoint as ocp
 
     path = _ckpt_path(directory, step)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(states), force=True)
+    payload = _unkey(states)
+    if jax.process_count() == 1:
+        # single host: detach from the device so the snapshot cannot
+        # alias live buffers
+        payload = jax.device_get(payload)
+    # multi-host: pass the globally-sharded arrays straight through —
+    # Orbax writes each process's addressable shards (all processes must
+    # call save; `directory` must be on a shared filesystem)
+    ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(path, _META_NAME), "w") as f:
-        json.dump({"step": step, **(meta or {})}, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, _META_NAME), "w") as f:
+            json.dump({"step": step, **(meta or {})}, f)
     return path
 
 
@@ -55,11 +95,12 @@ def restore_checkpoint(path: str, template):
     """Restore a chain-state pytree saved by :func:`save_checkpoint`.
 
     ``template`` is a matching pytree (e.g. a freshly-initialized state)
-    giving structure/shape/dtype. Returns ``(states, meta)``.
+    giving structure/shape/dtype/sharding. Returns ``(states, meta)``.
     """
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
+    data_template = _unkey(template)
 
     def _abstract(x):
         # Preserve the template's sharding (a mesh-sharded run must come
@@ -67,8 +108,8 @@ def restore_checkpoint(path: str, template):
         sharding = getattr(x, "sharding", None)
         return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
 
-    abstract = jax.tree.map(_abstract, template)
-    states = ckptr.restore(path, abstract)
+    abstract = jax.tree.map(_abstract, data_template)
+    states = _rekey(ckptr.restore(path, abstract), template)
     meta_file = os.path.join(path, _META_NAME)
     meta = {}
     if os.path.exists(meta_file):

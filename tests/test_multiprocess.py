@@ -35,18 +35,27 @@ from littlemcmc_tpu import models
 assert jax.device_count() == 8 and jax.local_device_count() == 4
 mesh = Mesh(np.array(jax.devices()), ("chains",))
 m = models.CorrelatedGaussian(8, rho=0.5)
-trace, stats = lmc.sample(
+ckpt = %CKPT%
+kw = dict(
     logp_dlogp_func=m.logp_grad, model_ndim=8, chains=16,
     tune=150, draws=300, random_seed=11, progressbar=False,
     mesh=mesh, cross_chain_adapt=True,
+    checkpoint_dir=ckpt, checkpoint_every=150,
 )
+trace, stats = lmc.sample(**kw)
 tr = np.asarray(trace)
 assert tr.shape == (16, 300, 8)
 vr = tr.reshape(-1, 8).var(0) / m.true_var
 assert 0.6 < vr.min() and vr.max() < 1.4, vr
 acc = np.asarray(stats["mean_tree_accept"]).mean()
 assert 0.6 < acc < 0.95, acc
-print(f"proc {pid}: OK vr=[{vr.min():.3f},{vr.max():.3f}] accept={acc:.3f}")
+# multi-process checkpoint/resume: the tail must reproduce bit-identically
+t_res, _ = lmc.sample(resume=True, **kw)
+res = np.asarray(t_res)
+assert res.shape[1] < tr.shape[1]
+np.testing.assert_array_equal(res, tr[:, -res.shape[1]:, :])
+print(f"proc {pid}: OK vr=[{vr.min():.3f},{vr.max():.3f}] accept={acc:.3f} "
+      f"resume tail {res.shape} bit-identical")
 """
 
 
@@ -61,8 +70,9 @@ def test_two_process_distributed_sampling(tmp_path):
         port = s.getsockname()[1]
     script = tmp_path / "worker.py"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    script.write_text(
-        _WORKER.replace("%PORT%", str(port)).replace("%REPO%", repr(repo)))
+    script.write_text(_WORKER.replace("%PORT%", str(port))
+                      .replace("%REPO%", repr(repo))
+                      .replace("%CKPT%", repr(str(tmp_path / "ckpt"))))
 
     procs = []
     logs = []
