@@ -177,7 +177,11 @@ def _build_pallas_hmc_kernel(logp_grad_fn, config, trajectory_spec, mesh,
     from .step_sizes import dual_average_update
 
     def kernel(states: ChainState, tuning) -> Tuple[ChainState, HMCInfo]:
-        key_next, k_mom, k_traj, k_sr = _split_each(states.rng_key, 4)
+        # k_seed is dedicated to the in-kernel PRNG: k_traj is consumed by
+        # the XLA path-length uniform below, and a consumed threefry key
+        # must not be reused as seed material (same discipline as the
+        # NUTS path's dedicated k_tree).
+        key_next, k_mom, k_traj, k_sr, k_seed = _split_each(states.rng_key, 5)
         dtype = states.q.dtype
 
         p0 = jax.vmap(lambda pot, k: pot.sample_momentum(k))(states.potential, k_mom)
@@ -213,7 +217,7 @@ def _build_pallas_hmc_kernel(logp_grad_fn, config, trajectory_spec, mesh,
             chain_block=256 * pack if pack > 1 else 512,
             interpret=trajectory_interpret, pack=pack,
         )
-        seed = jax.random.key_data(k_traj)[0].astype(jnp.int32)
+        seed = jax.random.key_data(k_seed)[0].astype(jnp.int32)
         if mesh is not None:
             from jax import shard_map
             from jax.sharding import PartitionSpec

@@ -319,7 +319,13 @@ def probe_spec(spec: PallasModelSpec, chain_block: int = 8) -> bool:
         g_ref[:] = g
 
     q = np.zeros((cb, npad), np.float32)
-    q[:, :n] = 0.1 * np.random.RandomState(0).randn(cb, n)
+    # Probe rows span three input scales (0.1 / 1 / 5): a model whose
+    # branches (jnp.where regimes, clipping, tail approximations) only
+    # activate away from the origin must match the XLA evaluation there
+    # too before the lowered kernel is trusted.
+    q[:, :n] = np.random.RandomState(0).randn(cb, n)
+    scales = np.asarray([0.1, 1.0, 5.0], np.float32)
+    q[:, :n] *= scales[np.arange(cb) % scales.size, None]
     qd = jnp.asarray(q)
     try:
         lp, g = pl.pallas_call(

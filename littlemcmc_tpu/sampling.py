@@ -581,49 +581,73 @@ def _run_chunked(
     # on the tunneled dev box), so it is only materialized when a
     # progress line, checkpoint, or callback actually needs the value.
     n_div_dev = jnp.asarray(n_div_total, jnp.int32)
-    while done < total:
-        tuning = done < tune
-        phase_end = tune if tuning else total
-        stop = min(phase_end, done + base_step)
-        chunk = stop - done
-        collect = collect_tune if tuning else True
+    try:
+        while done < total:
+            tuning = done < tune
+            phase_end = tune if tuning else total
+            stop = min(phase_end, done + base_step)
+            chunk = stop - done
+            collect = collect_tune if tuning else True
 
-        runner = _make_chunk_runner(kernel, chunk, tuning, collect, cross_chain_adapt)
-        states, out, ndiv = runner(states)
-        if collect:
-            outs.append(out)
-        n_div_dev = n_div_dev + ndiv
-        done += chunk
+            runner = _make_chunk_runner(kernel, chunk, tuning, collect, cross_chain_adapt)
+            states, out, ndiv = runner(states)
+            if collect:
+                outs.append(out)
+            n_div_dev = n_div_dev + ndiv
+            done += chunk
 
-        due_progress = next_progress is not None and done >= next_progress
-        due_checkpoint = next_checkpoint is not None and done >= next_checkpoint
-        if callback is not None or due_checkpoint or (due_progress and not quiet):
-            jax.block_until_ready(states)
-            n_div_total = int(n_div_dev)
+            due_progress = next_progress is not None and done >= next_progress
+            due_checkpoint = next_checkpoint is not None and done >= next_checkpoint
+            if callback is not None or due_checkpoint or (due_progress and not quiet):
+                jax.block_until_ready(states)
+                n_div_total = int(n_div_dev)
 
-        if callback is not None:
-            # Per-chunk callback (the reference's per-draw callback hook,
-            # ``sampling.py:307-308``, amortized over the chunk).
-            callback(iteration=done, tuning=tuning, states=states,
-                     chunk=out, n_divergences=n_div_total)
+            if callback is not None:
+                # Per-chunk callback (the reference's per-draw callback hook,
+                # ``sampling.py:307-308``, amortized over the chunk).
+                callback(iteration=done, tuning=tuning, states=states,
+                         chunk=out, n_divergences=n_div_total)
 
-        if next_progress is not None and done >= next_progress:
-            if not quiet:
-                rate = chains * done / max(time.perf_counter() - t0, 1e-9)
-                _log.info(
-                    "  %d/%d iterations (%s), %d divergences, %.0f transitions/s",
-                    done, total, "tuning" if done <= tune else "sampling",
-                    n_div_total, rate,
+            if next_progress is not None and done >= next_progress:
+                if not quiet:
+                    rate = chains * done / max(time.perf_counter() - t0, 1e-9)
+                    _log.info(
+                        "  %d/%d iterations (%s), %d divergences, %.0f transitions/s",
+                        done, total, "tuning" if done <= tune else "sampling",
+                        n_div_total, rate,
+                    )
+                next_progress = done + progress_every
+            if next_checkpoint is not None and done >= next_checkpoint:
+                from .utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_dir, states, done,
+                    meta={"n_divergences": n_div_total, "tune": tune, "draws": draws},
                 )
-            next_progress = done + progress_every
-        if next_checkpoint is not None and done >= next_checkpoint:
+                next_checkpoint = done + checkpoint_every
+    except KeyboardInterrupt:
+        # Return the chunks collected so far, like the reference's
+        # sequential interrupt path (``sampling.py:463-471``) — and unlike
+        # its multiprocessing path, which returns None. An on-device chunk
+        # cannot be interrupted midway, but completed ones survive. The
+        # loop locals (`states`, `outs`, `done`) hold the last *completed*
+        # chunk's values: a mid-dispatch or mid-callback interrupt leaves
+        # them one chunk behind the in-flight work, never inconsistent.
+        jax.block_until_ready(states)
+        _log.warning(
+            "Sampling interrupted at iteration %d/%d: returning the %d "
+            "compiled chunk(s) collected so far.", done, total, len(outs),
+        )
+        if checkpoint_dir:
             from .utils.checkpoint import save_checkpoint
 
             save_checkpoint(
                 checkpoint_dir, states, done,
-                meta={"n_divergences": n_div_total, "tune": tune, "draws": draws},
+                meta={"n_divergences": int(n_div_dev),
+                      "tune": tune, "draws": draws},
             )
-            next_checkpoint = done + checkpoint_every
+            _log.warning("Saved an interrupt checkpoint at iteration %d to %r.",
+                         done, checkpoint_dir)
 
     jax.block_until_ready(states)  # callers time/serialize right after
     return states, outs
@@ -720,6 +744,19 @@ def sample(
         else (step.logp_dlogp_func if step is not None else None),
         logp_fn,
     )
+
+    if random_seed is None and jax.process_count() > 1:
+        # Multi-host sharded init assumes every process computed the FULL
+        # chain batch from the SAME seeds (see ``_put`` below). A
+        # per-process np.random draw silently violates that invariant, so
+        # broadcast process 0's draw to everyone.
+        from jax.experimental import multihost_utils
+
+        random_seed = int(
+            multihost_utils.broadcast_one_to_all(
+                np.int64(np.random.randint(2 ** 30))
+            )
+        )
 
     init_keys, chain_keys = _resolve_chain_keys(random_seed, chains)
 

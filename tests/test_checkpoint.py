@@ -83,3 +83,49 @@ def test_checkpoint_roundtrip_pytree(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored.potential.var), np.asarray(state.potential.var)
     )
+
+
+def test_interrupt_returns_partial_trace_and_checkpoints(tmp_path):
+    """KeyboardInterrupt mid-run returns completed chunks + a checkpoint.
+
+    The reference returns the draws collected so far on interrupt in its
+    sequential path (``sampling.py:463-471``); here an interrupt between
+    compiled chunks returns every completed chunk and (when a
+    checkpoint_dir is set) snapshots the state so ``resume=True``
+    continues bit-identically.
+    """
+    ckpt = str(tmp_path / "ckpt_int")
+    kwargs = dict(
+        logp_dlogp_func=std_normal_logp_grad,
+        model_ndim=2,
+        draws=80,
+        tune=40,
+        chains=2,
+        random_seed=3,
+        progressbar=False,
+    )
+
+    def interrupting_cb(iteration, tuning, states, chunk, n_divergences):
+        if iteration >= 60:  # tune=40 + one collected 20-draw chunk
+            raise KeyboardInterrupt
+
+    t_part, s_part = lmc.sample(
+        progress_every=20, callback=interrupting_cb,
+        checkpoint_dir=ckpt, checkpoint_every=20, **kwargs
+    )
+    # one 20-draw chunk was completed and collected before the interrupt
+    assert t_part.shape == (2, 20, 2)
+    assert s_part["depth"].shape == (2, 20)
+
+    from littlemcmc_tpu.utils.checkpoint import latest_checkpoint
+
+    last = latest_checkpoint(ckpt)
+    assert last is not None and last.endswith("step_00000060")
+
+    # resuming completes the run; combined draws == an uninterrupted run
+    t_rest, _ = lmc.sample(checkpoint_dir=ckpt, resume=True, **kwargs)
+    assert t_rest.shape == (2, 60, 2)
+    t_full, _ = lmc.sample(**kwargs)
+    np.testing.assert_array_equal(
+        np.concatenate([t_part, t_rest], axis=1), t_full
+    )
