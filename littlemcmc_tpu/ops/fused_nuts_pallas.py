@@ -1,0 +1,538 @@
+"""T NUTS transitions per ``pallas_call``: the fused-draw kernel.
+
+Round-2 measurement: the raw whole-trajectory kernel runs eight schools
+at 9.66M transitions/s but end-to-end ``sample()`` reaches 556k — a 17×
+gap paid per draw in the ``pallas_call`` launch plus the XLA epilogue
+around it (threefry momentum refresh, dual-averaging update, Welford
+metric update, stats assembly, ``lax.scan`` bookkeeping). This module
+amortizes all of it: one ``pallas_call`` runs ``T`` transitions for each
+chain block, with
+
+- the chain state (position, gradient, logp) resident in VMEM scratch
+  across draws,
+- on-core momentum refresh (Box–Muller over the kernel PRNG — the XLA
+  path's threefry normals are a different stream, so the two paths are
+  statistically, not bitwise, identical),
+- on-core dual averaging (the exact reference update,
+  ``step_sizes.py:85-92``) and dual-window diagonal Welford adaptation
+  (the exact ``QuadPotentialDiagAdapt`` semantics,
+  ``quadpotential.py:231-245``: add to both windows, refresh the metric
+  from the foreground, swap at window boundaries),
+- the per-iteration early-treedepth schedule (``nuts.py:205-208``)
+  computed from the in-kernel iteration counter,
+- the trace and per-draw stats written to ``(T, …)`` outputs via the
+  grid (grid = (chain blocks, T); TPU grids iterate sequentially on
+  core, so scratch persists across the ``T`` steps of a block).
+
+The transition itself is :func:`.nuts_trajectory_pallas._run_transition`
+— the same code the per-draw kernel runs, so tree semantics are
+identical by construction.
+
+Layout: everything from the per-draw kernel, plus per-chain adaptation
+scalars column-packed into two extra ``(RW, 128)`` f32 scratch buffers
+and the Welford mean/raw-variance rows in four ``(RW, Npad)`` scratch
+buffers. The default chain block is 256 rows (vs the per-draw kernel's
+512): the extra state rows must fit the same 16 MB of VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..integration import INTEGRATOR_COEFFS
+from .nuts_trajectory_pallas import (
+    _LANE,
+    _N_OUT,
+    _N_SCALARS,
+    _O_DEPTH,
+    _O_DIV,
+    _O_ENERGY,
+    _O_LOGP,
+    _O_LS,
+    _O_LW,
+    _O_MEC,
+    _O_NLV,
+    _O_TURN,
+    _S_PRE,
+    _S_PRLP,
+    _Lanes,
+    _make_counter_uniform,
+    _run_transition,
+    _uniform,
+    natural_pack,
+    padded_dim,
+)
+
+__all__ = ["build_fused_nuts_op"]
+
+# extra packed stat columns (9..15 are free in the per-draw layout)
+_O_EE, _O_MTA, _O_SS, _O_SSB = 9, 10, 11, 12
+
+# packed scalar-state columns: buffer A (8 slots at K <= 16)
+_A_LP, _A_ITER, _A_DLS, _A_DLB, _A_DHB, _A_DCNT, _A_DMU, _A_FW = range(8)
+# buffer B
+_B_FW2, _B_BW, _B_BW2, _B_PN, _B_PWIN = range(5)
+_N_SC_IN = 16  # scalar input/output columns (13 used)
+
+_TWO_PI = 6.283185307179586
+
+
+def _log1mexp(x):
+    """``log(1 - exp(-x))`` for x > 0 (same two-branch form as math.py)."""
+    safe_small = jnp.where(x < 0.683, x, 1.0)
+    safe_large = jnp.where(x < 0.683, 1.0, x)
+    return jnp.where(
+        x < 0.683,
+        jnp.log(-jnp.expm1(-safe_small)),
+        jnp.log1p(-jnp.exp(-safe_large)),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def build_fused_nuts_op(
+    spec,
+    n: int,
+    T: int,
+    tuning: bool,
+    adapt_metric: bool,
+    config,
+    window_multiplier: float = 1.0,
+    chain_block: int = 256,
+    interpret: bool = False,
+    vmem_limit_bytes: int = 64 * 1024 * 1024,
+    prng: Optional[str] = None,
+    pack: int = 1,
+):
+    """Build the fused runner ``fused(args...) -> dict`` for one phase.
+
+    ``tuning`` and ``adapt_metric`` are *static*: the driver compiles one
+    program per phase (the chunked driver already runs tune and draw
+    phases as separate compiled chunks). ``config`` is the frozen
+    :class:`~littlemcmc_tpu.base.NUTSConfig`; ``config.step_rand`` must
+    be None (the jitter hook runs in XLA on the per-draw path).
+
+    Inputs of the returned function (all f32, chain-batched):
+    ``q, grad, logp, iter_count, da(5 leaves), var`` and, when
+    ``adapt_metric``, the 8 Welford leaves + ``n_samples, window``;
+    plus a ``(2,)`` int32 seed. Returns a dict with the ``(T, C, n)``
+    trace, 13 ``(T, C)`` stat streams, and every updated state leaf.
+    """
+    if config.step_rand is not None:
+        raise ValueError("the fused NUTS kernel does not support step_rand")
+    if prng is None:
+        prng = "counter" if interpret else "tpu"
+    coeffs = INTEGRATOR_COEFFS[config.integrator]
+    Emax = float(config.Emax)
+    K = int(pack)
+    D = int(config.max_treedepth)
+    adapting = bool(tuning) and bool(config.adapt_step_size)
+    mult = float(window_multiplier)
+
+    if K > 1:
+        if spec.packed_fn is None:
+            raise ValueError("this PallasModelSpec has no packed_fn; "
+                             "build with pack=1")
+        Npad = _LANE
+        SEG = Npad // K
+        if SEG < n + _N_SCALARS:
+            raise ValueError(
+                f"pack={K} leaves {SEG}-lane segments but the model needs "
+                f"{n + _N_SCALARS}; use pack <= {natural_pack(n)}")
+        model_fn = spec.packed_fn
+        consts = tuple(spec.packed_consts(K, SEG)) if spec.packed_consts else ()
+    else:
+        Npad = padded_dim(n)
+        SEG = Npad
+        model_fn = spec.fn
+        consts = spec.consts
+    n_consts = len(consts)
+    n_wrows = 4 if adapt_metric else 0  # fg/bg mean + raw-var rows
+
+    def kernel(seed_ref, *rest):
+        if adapt_metric:
+            q0, g0, sin, var0, fgm0, fgv0, bgm0, bgv0 = rest[:8]
+            rest = rest[8:]
+        else:
+            q0, g0, sin, var0 = rest[:4]
+            rest = rest[4:]
+        consts_refs = rest[:n_consts]
+        rest = rest[n_consts:]
+        if adapt_metric:
+            (tr_q, st, qf, gf, soutf, varf, fgmf, fgvf, bgmf, bgvf) = rest[:10]
+            rest = rest[10:]
+        else:
+            tr_q, st, qf, gf, soutf = rest[:5]
+            rest = rest[5:]
+        (l_q, l_p, l_g, r_q, r_p, r_g, c_q, c_p, c_g, pr_q, psum,
+         sf, si, s_lp, s_rp, s_ps, s_q, q_s, g_s, sa, sb) = rest[:21]
+        wrows = rest[21:21 + n_wrows + (1 if adapt_metric else 0)]
+        if adapt_metric:
+            var_s, fgm_s, fgv_s, bgm_s, bgv_s = wrows
+
+        i_blk = pl.program_id(0)
+        t = pl.program_id(1)
+        RW = q_s.shape[0]
+        # the per-(t, i) output blocks are (1, RW, ...); 2-D ref views let
+        # the shared transition code treat them like the per-draw buffers
+        st2 = st.at[0]
+        tr2 = tr_q.at[0]
+
+        def sinc(c):
+            return sin[:, c * K:(c + 1) * K]
+
+        def sac(c):
+            return sa[:, c * K:(c + 1) * K]
+
+        def set_sa(c, v):
+            sa[:, c * K:(c + 1) * K] = v
+
+        def sbc(c):
+            return sb[:, c * K:(c + 1) * K]
+
+        def set_sb(c, v):
+            sb[:, c * K:(c + 1) * K] = v
+
+        def stc(c):
+            return st2[:, c * K:(c + 1) * K]
+
+        def set_st(c, v):
+            st2[:, c * K:(c + 1) * K] = v
+
+        @pl.when(t == 0)
+        def _load_state():
+            q_s[:] = q0[:]
+            g_s[:] = g0[:]
+            sa[:] = jnp.zeros((RW, _LANE), jnp.float32)
+            sb[:] = jnp.zeros((RW, _LANE), jnp.float32)
+            for c in range(8):
+                sa[:, c * K:(c + 1) * K] = sinc(c)
+            for c in range(5):
+                sb[:, c * K:(c + 1) * K] = sinc(8 + c)
+            if adapt_metric:
+                var_s[:] = var0[:]
+                fgm_s[:] = fgm0[:]
+                fgv_s[:] = fgv0[:]
+                bgm_s[:] = bgm0[:]
+                bgv_s[:] = bgv0[:]
+
+        # per-(block, draw) PRNG stream: both threefry words plus the
+        # grid position folded in (t stride chosen so i/t mixes collide
+        # for no (i, t) pair within a call)
+        seed0 = seed_ref[0] + i_blk * 7919 + t * 15485863
+        if prng == "tpu":
+            pltpu.prng_seed(seed0, seed_ref[1])
+
+        lanes = _Lanes(n, Npad, RW, K)
+        model = lanes.make_model(model_fn, tuple(r[:] for r in consts_refs))
+        V = var_s[:] if adapt_metric else var0[:]
+        velE, velC = lanes.make_velocities(V, "diag")
+        if prng == "tpu":
+            uniform = _uniform
+        else:
+            uniform = _make_counter_uniform(lanes, si, seed0, seed_ref[1])
+
+        refs = dict(
+            l_q=l_q, l_p=l_p, l_g=l_g, r_q=r_q, r_p=r_p, r_g=r_g,
+            c_q=c_q, c_p=c_p, c_g=c_g, pr_q=pr_q, psum=psum,
+            sf=sf, si=si, so=st2,
+            s_lp=s_lp, s_rp=s_rp, s_ps=s_ps, s_q=s_q, coeffs=coeffs,
+        )
+
+        q = q_s[:]
+        g = g_s[:]
+        lp = sac(_A_LP)
+        qmask = lanes.qmask
+
+        # --- on-core momentum refresh (Box–Muller) -----------------------
+        # NOTE: _run_transition zeroes the i32 scratch (the counter-PRNG
+        # call counter) at its start, so these pre-transition draws must
+        # come from uniform() BEFORE the transition... they do not: the
+        # transition's own stream restarts at counter 0 and would collide
+        # with the momentum draws. Stream-separate by drawing momentum
+        # from dedicated counter slots: simplest is to draw AFTER seeding
+        # but let the transition re-zero the counter — the momentum draws
+        # below use counter values 1, 2 and the transition restarts at 1
+        # with the SAME salt. To keep the streams disjoint the momentum
+        # draw perturbs the salt via an extra seed offset.
+        if prng == "tpu":
+            u1 = _uniform((RW, Npad))
+            u2 = _uniform((RW, Npad))
+        else:
+            mom_uniform = _make_counter_uniform(
+                lanes, si, seed0 + 1013904223, seed_ref[1])
+            si[:, 0:_LANE] = jnp.zeros((RW, _LANE), jnp.int32)
+            u1 = mom_uniform((RW, Npad))
+            u2 = mom_uniform((RW, Npad))
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        p = jnp.where(qmask, z / jnp.sqrt(jnp.where(qmask, V, 1.0)), 0.0)
+
+        E0 = 0.5 * lanes.segsum(p * velE(p)) - lp
+
+        # --- step size and depth schedule (static-phase branches) --------
+        eps_v = jnp.exp(sac(_A_DLS)) if adapting else jnp.exp(sac(_A_DLB))
+        if tuning:
+            early = sac(_A_ITER) < float(config.early_window)
+            mdc_v = jnp.where(early, float(config.early_max_treedepth),
+                              float(config.max_treedepth))
+        else:
+            mdc_v = jnp.full((RW, K), float(config.max_treedepth), jnp.float32)
+
+        _run_transition(lanes, refs, model, uniform, velE, velC, Emax,
+                        q, p, g, lp, E0, eps_v, mdc_v)
+
+        prop_q = pr_q[:]
+        prop_e = sf[:, _S_PRE * K:(_S_PRE + 1) * K]
+        prop_lp = sf[:, _S_PRLP * K:(_S_PRLP + 1) * K]
+        lp_f, g_f = model(prop_q)
+        del lp_f  # deterministic model: equals the stored proposal logp
+
+        # --- stats: mean_tree_accept + energies (nuts.py:419-435) --------
+        ls = stc(_O_LS)
+        lw = stc(_O_LW)
+        mta = jnp.where(ls > 0, jnp.exp(lw - (ls + _log1mexp(ls))), 0.0)
+        set_st(_O_ENERGY, prop_e)
+        set_st(_O_LOGP, prop_lp)
+        set_st(_O_EE, prop_e - E0)
+        set_st(_O_MTA, mta)
+
+        # --- on-core dual averaging (step_sizes.py:85-92) ----------------
+        if adapting:
+            cnt = sac(_A_DCNT)
+            w = 1.0 / (cnt + float(config.t0))
+            hb = (1.0 - w) * sac(_A_DHB) + w * (float(config.target_accept) - mta)
+            ls_new = sac(_A_DMU) - hb * jnp.sqrt(cnt) / float(config.gamma)
+            mk = jnp.exp(-float(config.k) * jnp.log(cnt))
+            lb_new = mk * ls_new + (1.0 - mk) * sac(_A_DLB)
+            set_sa(_A_DHB, hb)
+            set_sa(_A_DLS, ls_new)
+            set_sa(_A_DLB, lb_new)
+            set_sa(_A_DCNT, cnt + 1.0)
+        else:
+            ls_new = sac(_A_DLS)
+            lb_new = sac(_A_DLB)
+        set_st(_O_SS, jnp.exp(ls_new))
+        set_st(_O_SSB, jnp.exp(lb_new))
+
+        # --- on-core dual-window Welford (quadpotential.py:231-245) ------
+        if adapt_metric and tuning:
+            x = prop_q  # padding lanes are zero by construction
+            bc, bcb = lanes.bc, lanes.bcb
+            fw = sac(_A_FW) + 1.0
+            old_diff = x - fgm_s[:]
+            fmean = fgm_s[:] + bc(1.0 / fw) * old_diff
+            fraw = fgv_s[:] + old_diff * (x - fmean)
+            fw2 = sbc(_B_FW2) + 1.0
+            var_new = fraw * bc(1.0 / fw)
+
+            bw = sbc(_B_BW) + 1.0
+            bold = x - bgm_s[:]
+            bmean = bgm_s[:] + bc(1.0 / bw) * bold
+            braw = bgv_s[:] + bold * (x - bmean)
+            bw2 = sbc(_B_BW2) + 1.0
+
+            pn = sbc(_B_PN)
+            win = sbc(_B_PWIN)
+            # f32 modulo via floor: counts stay far below 2^24 (exact)
+            at_boundary = (pn - win * jnp.floor(pn / win)) == 0.0
+            swap = (pn > 0) & at_boundary
+            swap_b = bcb(swap)
+            fgm_s[:] = jnp.where(swap_b, bmean, fmean)
+            fgv_s[:] = jnp.where(swap_b, braw, fraw)
+            bgm_s[:] = jnp.where(swap_b, 0.0, bmean)
+            bgv_s[:] = jnp.where(swap_b, 0.0, braw)
+            set_sa(_A_FW, jnp.where(swap, bw, fw))
+            set_sb(_B_FW2, jnp.where(swap, bw2, fw2))
+            set_sb(_B_BW, jnp.where(swap, 0.0, bw))
+            set_sb(_B_BW2, jnp.where(swap, 0.0, bw2))
+            set_sb(_B_PN, pn + 1.0)
+            set_sb(_B_PWIN, jnp.where(swap, jnp.floor(win * mult), win))
+            # metric refresh from the (pre-swap) foreground, like the
+            # reference: var = fg.current_variance() before the swap
+            var_s[:] = jnp.where(qmask, var_new, 0.0)
+
+        # --- advance the chain state -------------------------------------
+        set_sa(_A_ITER, sac(_A_ITER) + 1.0)
+        set_sa(_A_LP, prop_lp)
+        q_s[:] = prop_q
+        g_s[:] = g_f
+        tr2[:] = prop_q
+
+        @pl.when(t == T - 1)
+        def _store_state():
+            qf[:] = q_s[:]
+            gf[:] = g_s[:]
+            out = jnp.zeros((RW, _N_SC_IN * K), jnp.float32)
+            soutf[:] = out
+            for c in range(8):
+                soutf[:, c * K:(c + 1) * K] = sac(c)
+            for c in range(5):
+                soutf[:, (8 + c) * K:(9 + c) * K] = sbc(c)
+            if adapt_metric:
+                varf[:] = var_s[:]
+                fgmf[:] = fgm_s[:]
+                fgvf[:] = fgv_s[:]
+                bgmf[:] = bgm_s[:]
+                bgvf[:] = bgv_s[:]
+
+    def fused(q, grad, logp, iter_count, da_log_step, da_log_bar, da_hbar,
+              da_count, da_mu, var, welford, seed):
+        """Run T transitions. ``welford`` is None or the 10-tuple
+        ``(fg_mean, fg_raw, fg_w, fg_w2, bg_mean, bg_raw, bg_w, bg_w2,
+        n_samples, window)``."""
+        C = q.shape[0]
+        CB = min(chain_block * K, C)
+        while CB >= 1 and (C % CB or CB % K):
+            CB //= 2
+        if CB < 1 or CB // K < 8:
+            raise ValueError(
+                f"chains={C} has no usable chain-block divisor with >= 8 "
+                f"rows at pack={K} for the fused NUTS kernel")
+        RW = CB // K
+        RT = C // K
+        f32 = jnp.float32
+
+        def pack_rows(x2d):
+            xp = jnp.pad(x2d.astype(f32), ((0, 0), (0, SEG - n)))
+            return xp.reshape(RT, K * SEG)
+
+        def pack_scal(v):
+            return jnp.broadcast_to(jnp.asarray(v, f32), (C,)).reshape(RT, K)
+
+        scal_cols = [
+            logp, iter_count, da_log_step, da_log_bar, da_hbar, da_count,
+            da_mu,
+        ]
+        if welford is not None:
+            fgm, fgv, fgw, fgw2, bgm, bgv, bgw, bgw2, pn, win = welford
+            scal_cols += [fgw, fgw2, bgw, bgw2, pn, win]
+        else:
+            scal_cols += [jnp.zeros(C)] * 6
+        sin = jnp.concatenate([pack_scal(v) for v in scal_cols]
+                              + [jnp.zeros((RT, (16 - len(scal_cols)) * K), f32)],
+                              axis=1)
+
+        seed1 = jnp.asarray(seed, jnp.int32).reshape(-1)
+        if seed1.shape[0] < 2:
+            seed1 = jnp.concatenate([seed1, seed1])
+        seed1 = seed1[:2]
+
+        grid = (RT // RW, T)
+        row_in = pl.BlockSpec((RW, Npad), lambda i, t: (i, 0),
+                              memory_space=pltpu.VMEM)
+        sin_spec = pl.BlockSpec((RW, _N_SC_IN * K), lambda i, t: (i, 0),
+                                memory_space=pltpu.VMEM)
+        tr_spec = pl.BlockSpec((1, RW, Npad), lambda i, t: (t, i, 0),
+                               memory_space=pltpu.VMEM)
+        st_spec = pl.BlockSpec((1, RW, _N_OUT * K), lambda i, t: (t, i, 0),
+                               memory_space=pltpu.VMEM)
+        const_specs = [
+            pl.BlockSpec(cc.shape, (lambda i, t, _nd=cc.ndim: (0,) * _nd),
+                         memory_space=pltpu.VMEM)
+            for cc in consts
+        ]
+
+        inputs = [pack_rows(q), pack_rows(grad), sin, pack_rows(var)]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    row_in, row_in, sin_spec, row_in]
+        if welford is not None:
+            inputs += [pack_rows(fgm), pack_rows(fgv), pack_rows(bgm),
+                       pack_rows(bgv)]
+            in_specs += [row_in] * 4
+        in_specs += const_specs
+
+        out_shapes = [
+            jax.ShapeDtypeStruct((T, RT, Npad), f32),          # trace
+            jax.ShapeDtypeStruct((T, RT, _N_OUT * K), f32),    # stats
+            jax.ShapeDtypeStruct((RT, Npad), f32),             # final q
+            jax.ShapeDtypeStruct((RT, Npad), f32),             # final grad
+            jax.ShapeDtypeStruct((RT, _N_SC_IN * K), f32),     # final scalars
+        ]
+        out_specs = [tr_spec, st_spec, row_in, row_in, sin_spec]
+        if adapt_metric:
+            out_shapes += [jax.ShapeDtypeStruct((RT, Npad), f32)] * 5
+            out_specs += [row_in] * 5
+
+        scratch = (
+            [pltpu.VMEM((RW, Npad), f32)] * 11       # transition rows
+            + [pltpu.VMEM((RW, _LANE), f32)]         # sf
+            + [pltpu.VMEM((RW, _LANE), jnp.int32)]   # si
+            + [pltpu.VMEM((D, RW, Npad), f32)] * 4   # merge stacks
+            + [pltpu.VMEM((RW, Npad), f32)] * 2      # q_s, g_s
+            + [pltpu.VMEM((RW, _LANE), f32)] * 2     # sa, sb
+            + ([pltpu.VMEM((RW, Npad), f32)] * 5 if adapt_metric else [])
+        )
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_shape=out_shapes,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(seed1, *inputs, *consts)
+
+        tr, stp, qf, gf, soutf = outs[:5]
+
+        def unrow(x):
+            return x.reshape(C, SEG)[:, :n]
+
+        def sc(buf, c):
+            return buf[:, c * K:(c + 1) * K].reshape(-1)
+
+        def stat(c):
+            return stp[:, :, c * K:(c + 1) * K].reshape(T, C)
+
+        res = dict(
+            trace=tr.reshape(T, C, SEG)[:, :, :n],
+            q=unrow(qf),
+            grad=unrow(gf),
+            logp=sc(soutf, _A_LP),
+            iter_count=sc(soutf, _A_ITER),
+            da_log_step=sc(soutf, _A_DLS),
+            da_log_bar=sc(soutf, _A_DLB),
+            da_hbar=sc(soutf, _A_DHB),
+            da_count=sc(soutf, _A_DCNT),
+            da_mu=sc(soutf, _A_DMU),
+            energy=stat(_O_ENERGY),
+            model_logp=stat(_O_LOGP),
+            depth=stat(_O_DEPTH).astype(jnp.int32),
+            n_leaves=stat(_O_NLV).astype(jnp.int32),
+            diverging=stat(_O_DIV) != 0,
+            turning=stat(_O_TURN) != 0,
+            max_energy_change=stat(_O_MEC),
+            energy_error=stat(_O_EE),
+            mean_tree_accept=stat(_O_MTA),
+            step_size=stat(_O_SS),
+            step_size_bar=stat(_O_SSB),
+        )
+        if adapt_metric:
+            varf, fgmf, fgvf, bgmf, bgvf = outs[5:]
+            res.update(
+                var=unrow(varf),
+                fg_mean=unrow(fgmf),
+                fg_raw=unrow(fgvf),
+                bg_mean=unrow(bgmf),
+                bg_raw=unrow(bgvf),
+                fg_w=sc(soutf, 8 + _B_FW2 - _B_FW2) if False else sc(soutf, 7),
+                fg_w2=sc(soutf, 8),
+                bg_w=sc(soutf, 9),
+                bg_w2=sc(soutf, 10),
+                n_samples=sc(soutf, 11),
+                window=sc(soutf, 12),
+            )
+        return res
+
+    return fused

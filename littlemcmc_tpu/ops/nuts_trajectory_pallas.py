@@ -178,39 +178,30 @@ class _PackHelpers:
         self.qmask = qmask
 
 
-def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
-                       metric="diag", prng="tpu", pack=1):
-    b_coef, a_coef = coeffs
-    neg_inf = float("-inf")
-    K = int(pack)           # chains per VPU row
-    RW = CB // K            # physical rows per block
-    SEG = Npad // K         # lanes per chain segment
-    assert CB % K == 0 and Npad % K == 0 and SEG >= n + _N_SCALARS
+class _Lanes:
+    """Lane-layout helpers shared by the per-draw and fused kernels.
 
-    def kernel(seed_ref, q0, p0, g0, sin, var, *rest):
-        consts_refs = rest[:n_consts]
-        q_out, g_out, so = rest[n_consts:n_consts + 3]
-        (l_q, l_p, l_g, r_q, r_p, r_g, c_q, c_p, c_g, pr_q, psum,
-         sf, si, s_lp, s_rp, s_ps, s_q) = rest[n_consts + 3:]
+    Encapsulates the packed-row plumbing: per-chain scalar <-> lane-row
+    conversion, segment sums/broadcasts, and the stack-slot scalar
+    packing. K = 1: a chain owns its whole row; scalars are ``(RW, 1)``
+    columns and numpy broadcasting does the rest. K > 1: per-chain
+    scalars are ``(RW, K)``; segment sums and broadcasts are MXU dots
+    against iota-built 0/1 indicator matrices (cheap:
+    ``(RW, Npad) @ (Npad, K)`` and back).
+    """
 
-        # 64 bits of per-draw entropy (both threefry key words) plus the
-        # block id folded into the first word (prng_seed takes at most
-        # two values): 32 bits alone would birthday-collide within ~77k
-        # draws, replaying identical direction/swap streams.
-        if prng == "tpu":
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919, seed_ref[1])
-        consts = tuple(r[:] for r in consts_refs)
+    def __init__(self, n, Npad, RW, K):
+        SEG = Npad // K
+        self.n, self.Npad, self.RW, self.K, self.SEG = n, Npad, RW, K, SEG
         col = lax.broadcasted_iota(jnp.int32, (RW, Npad), 1)
         colm = col % SEG if K > 1 else col  # within-segment column
-        qmask = colm < n
+        self.col, self.colm = col, colm
+        self.qmask = colm < n
 
-        # --- per-chain scalar <-> lane-row plumbing -----------------------
-        # K = 1: a chain owns its whole row; scalars are (RW, 1) columns
-        # and numpy broadcasting does the rest (the round-1 layout,
-        # unchanged). K > 1: per-chain scalars are (RW, K); segment sums
-        # and broadcasts are MXU dots against iota-built 0/1 indicator
-        # matrices (cheap: (RW, Npad) @ (Npad, K) and back).
         if K == 1:
+            def finite(x):
+                return x
+
             def segsum(x):
                 return jnp.sum(x, axis=1, keepdims=True)
 
@@ -253,15 +244,13 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
             def bcb(m):
                 return bc(m.astype(jnp.float32)) > 0.5
 
-        helpers = _PackHelpers(segsum, bc, colm, K, SEG, n, qmask)
+        self.finite = finite
+        self.segsum = segsum
+        self.bc = bc
+        self.bcb = bcb
 
-        def model(q):
-            if K == 1:
-                logp, grad = model_fn(q, *consts)
-            else:
-                logp, grad = model_fn(q, helpers, *consts)
-            return logp, jnp.where(qmask, grad, 0.0)
-
+        n_sc = _N_SCALARS
+        qmask = self.qmask
         if K == 1:
             def pack_slot(qv, e, lp_, ls, lw):
                 x = jnp.where(qmask, qv, 0.0)
@@ -277,12 +266,12 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
             # one (Npad, 4K) indicator: lane (j*SEG + n + c) <-> scalar
             # (c, chain j); pack/unpack of all four slot scalars is a
             # single MXU dot each way
-            ul = lax.broadcasted_iota(jnp.int32, (Npad, 4 * K), 0)
-            um = lax.broadcasted_iota(jnp.int32, (Npad, 4 * K), 1)
+            ul = lax.broadcasted_iota(jnp.int32, (Npad, n_sc * K), 0)
+            um = lax.broadcasted_iota(jnp.int32, (Npad, n_sc * K), 1)
             slot_ind_t = (ul == (um % K) * SEG + n + um // K).astype(
                 jnp.float32)  # (Npad, 4K)
-            sl = lax.broadcasted_iota(jnp.int32, (4 * K, Npad), 0)
-            sc = lax.broadcasted_iota(jnp.int32, (4 * K, Npad), 1)
+            sl = lax.broadcasted_iota(jnp.int32, (n_sc * K, Npad), 0)
+            sc = lax.broadcasted_iota(jnp.int32, (n_sc * K, Npad), 1)
             slot_ind = (sc == (sl % K) * SEG + n + sl // K).astype(
                 jnp.float32)  # (4K, Npad)
 
@@ -298,105 +287,157 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
                 return (jnp.where(qmask, x, 0.0), u[:, 0:K], u[:, K:2 * K],
                         u[:, 2 * K:3 * K], u[:, 3 * K:4 * K])
 
-        V = var[:]
+        self.pack_slot = pack_slot
+        self.unpack_slot = unpack_slot
+
+    def make_model(self, model_fn, consts):
+        """Wrap the spec's model fn: pads masked, helpers for packed fns."""
+        qmask = self.qmask
+        if self.K == 1:
+            def model(q):
+                logp, grad = model_fn(q, *consts)
+                return logp, jnp.where(qmask, grad, 0.0)
+        else:
+            helpers = _PackHelpers(self.segsum, self.bc, self.colm,
+                                   self.K, self.SEG, self.n, qmask)
+
+            def model(q):
+                logp, grad = model_fn(q, helpers, *consts)
+                return logp, jnp.where(qmask, grad, 0.0)
+        return model
+
+    def make_velocities(self, V, metric):
+        """(velE, velC): energy-critical and decision-only velocity fns."""
         if metric == "diag":
             # per-chain inverse-mass diagonal: velocity = V * p (fuses)
             def velE(p_):
                 return V * p_
 
-            velC = velE
-        else:
-            # shared covariance (inverse mass): velocity = p @ COV.
-            # Energy-critical velocities (drift, kinetic) use exact f32;
-            # U-turn *decision* velocities may use the fast default (any
-            # deterministic stopping rule is valid, and the decisions are
-            # insensitive at the 1e-3 level).
-            def velE(p_):
-                return jnp.dot(p_, V, precision="highest",
-                               preferred_element_type=jnp.float32)
+            return velE, velE
+        # shared covariance (inverse mass): velocity = p @ COV.
+        # Energy-critical velocities (drift, kinetic) use exact f32;
+        # U-turn *decision* velocities may use the fast default (any
+        # deterministic stopping rule is valid, and the decisions are
+        # insensitive at the 1e-3 level).
 
-            def velC(p_):
-                return jnp.dot(p_, V, preferred_element_type=jnp.float32)
+        def velE(p_):
+            return jnp.dot(p_, V, precision="highest",
+                           preferred_element_type=jnp.float32)
 
-        q = q0[:]
-        p = p0[:]
-        # per-chain scalar c lives in columns [c*K, (c+1)*K) of its buffer
-        lp = sin[:, _IN_LOGP * K:(_IN_LOGP + 1) * K]
-        eps_v = sin[:, _IN_EPS * K:(_IN_EPS + 1) * K]
-        mdc_v = sin[:, _IN_MAXDEPTH * K:(_IN_MAXDEPTH + 1) * K]  # f32, small ints
-        E0 = 0.5 * segsum(p * velE(p)) - lp
+        def velC(p_):
+            return jnp.dot(p_, V, preferred_element_type=jnp.float32)
 
-        l_q[:] = q; l_p[:] = p; l_g[:] = g0[:]
-        r_q[:] = q; r_p[:] = p; r_g[:] = g0[:]
-        pr_q[:] = q
-        psum[:] = p
-        ocol = lax.broadcasted_iota(jnp.int32, (RW, _N_OUT * K), 1)
-        si[:] = jnp.zeros((RW, _LANE), jnp.int32)
-        # packed accumulators: ls=0, lw=-inf, mec=0, depth=0, nlv=0, div=0, trn=0
-        so[:] = jnp.where(ocol // K == _O_LW, neg_inf, 0.0)
+        return velE, velC
 
-        max_sched = jnp.max(mdc_v).astype(jnp.int32)
 
-        def sfc(c):
-            return sf[:, c * K:(c + 1) * K]
+def _make_counter_uniform(lanes, si, seed0_expr, seed1_expr):
+    """Counter PRNG (interpret-mode / CPU CI path).
 
-        def soc(c):
-            return so[:, c * K:(c + 1) * K]
+    Per-lane salt from (seed words, block id, chain index), a shared call
+    counter in the i32 scratch (zero-initialized by the transition),
+    murmur3-mixed per call. Plain XLA ops, lowers everywhere. Supports
+    per-chain ``(RW, K)`` draws and full-row ``(RW, Npad)`` draws (the
+    fused kernel's momentum refresh) off the same counter with
+    stream-separated salts.
+    """
+    RW, K, Npad = lanes.RW, lanes.K, lanes.Npad
+    row_i = lax.broadcasted_iota(jnp.int32, (RW, K), 0)
+    seg_i = lax.broadcasted_iota(jnp.int32, (RW, K), 1)
+    lane = row_i * K + seg_i
+    base = seed0_expr
+    s1u = (jnp.asarray(seed1_expr).astype(jnp.uint32)
+           * jnp.uint32(0x9E3779B9))
+    salt = _fmix32((base + lane * 101027).astype(jnp.uint32) ^ s1u)
+    row_r = lax.broadcasted_iota(jnp.int32, (RW, Npad), 0)
+    col_r = lax.broadcasted_iota(jnp.int32, (RW, Npad), 1)
+    lane_r = row_r * Npad + col_r
+    salt_row = _fmix32(
+        (base + lane_r * 65063 + 17).astype(jnp.uint32) ^ s1u)
 
-        def set_sf(c, v):
-            sf[:, c * K:(c + 1) * K] = v
+    def uniform(shape):
+        c = si[:, _M_RNG * K:(_M_RNG + 1) * K] + 1
+        si[:, _M_RNG * K:(_M_RNG + 1) * K] = c
+        s = salt_row if shape == (RW, Npad) else salt
+        cc = c[:, 0:1].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        x = _fmix32(s ^ cc)
+        # top 8 bits cleared -> exact through int32 (Mosaic has no
+        # direct uint32 -> f32 cast, so this also lowers on TPU)
+        bits24 = (x >> jnp.uint32(8)).astype(jnp.int32)
+        return (bits24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
 
-        def set_so(c, v):
-            so[:, c * K:(c + 1) * K] = v
+    return uniform
 
-        def sic(c):
-            return si[:, c * K:(c + 1) * K]
 
-        def set_si(c, v):
-            si[:, c * K:(c + 1) * K] = v
+def _run_transition(lanes, refs, model, uniform, velE, velC, Emax,
+                    q0v, p0v, g0v, lp0, E0, eps_v, mdc_v):
+    """One whole NUTS transition operating on VMEM scratch refs.
 
-        # f32 scalar scratch init: c_e, c_lp, pr_e, pr_lp
-        sf[:] = jnp.zeros((RW, _LANE), jnp.float32)
-        set_sf(_S_CE, E0)
-        set_sf(_S_PRE, E0)
-        set_sf(_S_CLP, lp)
-        set_sf(_S_PRLP, lp)
+    Shared by the per-draw kernel (one transition per ``pallas_call``)
+    and the fused kernel (T transitions per call, one per grid step).
+    Inputs are *values*: the start state ``(q0v, p0v, g0v, lp0, E0)``,
+    per-chain step sizes ``eps_v`` and depth caps ``mdc_v`` (both
+    ``(RW, K)``). On return the proposal lives in ``refs['pr_q']`` /
+    ``sf`` columns ``_S_PRE``/``_S_PRLP``, and the packed output block
+    ``refs['so']`` holds the tree accumulators (``_O_LS`` .. ``_O_TURN``).
+    """
+    RW, K, Npad = lanes.RW, lanes.K, lanes.Npad
+    segsum, bc, bcb = lanes.segsum, lanes.bc, lanes.bcb
+    pack_slot, unpack_slot = lanes.pack_slot, lanes.unpack_slot
+    neg_inf = float("-inf")
 
-        if prng == "tpu":
-            uniform = _uniform
-        else:
-            # Counter PRNG (interpret-mode / CPU CI path): per-lane salt
-            # from (seed words, block id, chain index), a shared call
-            # counter in the i32 scratch (zero-initialized above),
-            # murmur3-mixed per call. Plain XLA ops, lowers everywhere.
-            row_i = lax.broadcasted_iota(jnp.int32, (RW, K), 0)
-            seg_i = lax.broadcasted_iota(jnp.int32, (RW, K), 1)
-            lane = row_i * K + seg_i
-            base = seed_ref[0] + pl.program_id(0) * 7919
-            salt = _fmix32(
-                (base + lane * 101027).astype(jnp.uint32)
-                ^ (jnp.asarray(seed_ref[1]).astype(jnp.uint32)
-                   * jnp.uint32(0x9E3779B9))
-            )
+    l_q, l_p, l_g = refs["l_q"], refs["l_p"], refs["l_g"]
+    r_q, r_p, r_g = refs["r_q"], refs["r_p"], refs["r_g"]
+    c_q, c_p, c_g = refs["c_q"], refs["c_p"], refs["c_g"]
+    pr_q, psum = refs["pr_q"], refs["psum"]
+    sf, si, so = refs["sf"], refs["si"], refs["so"]
+    s_lp, s_rp, s_ps, s_q = refs["s_lp"], refs["s_rp"], refs["s_ps"], refs["s_q"]
 
-            def uniform(shape):
-                del shape  # every consumer draws (RW, K)
-                c = sic(_M_RNG) + 1
-                set_si(_M_RNG, c)
-                x = _fmix32(salt ^ (c.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)))
-                # top 8 bits cleared -> exact through int32 (Mosaic has no
-                # direct uint32 -> f32 cast, so this also lowers on TPU)
-                bits24 = (x >> jnp.uint32(8)).astype(jnp.int32)
-                return (bits24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
+    l_q[:] = q0v; l_p[:] = p0v; l_g[:] = g0v
+    r_q[:] = q0v; r_p[:] = p0v; r_g[:] = g0v
+    pr_q[:] = q0v
+    psum[:] = p0v
+    ocol = lax.broadcasted_iota(jnp.int32, (RW, _N_OUT * K), 1)
+    si[:] = jnp.zeros((RW, _LANE), jnp.int32)
+    # packed accumulators: ls=0, lw=-inf, mec=0, depth=0, nlv=0, div=0, trn=0
+    so[:] = jnp.where(ocol // K == _O_LW, neg_inf, 0.0)
 
-        def rowdot(a, bb):
-            return segsum(a * bb)
+    max_sched = jnp.max(mdc_v).astype(jnp.int32)
 
-        def logbern(log_p):
-            # NaN log_p yields False (reference math.py:21-25 raises; we mask)
-            return jnp.log(uniform((RW, K))) < log_p
+    def sfc(c):
+        return sf[:, c * K:(c + 1) * K]
 
-        def outer_body(carry):
+    def soc(c):
+        return so[:, c * K:(c + 1) * K]
+
+    def set_sf(c, v):
+        sf[:, c * K:(c + 1) * K] = v
+
+    def set_so(c, v):
+        so[:, c * K:(c + 1) * K] = v
+
+    def sic(c):
+        return si[:, c * K:(c + 1) * K]
+
+    def set_si(c, v):
+        si[:, c * K:(c + 1) * K] = v
+
+    # f32 scalar scratch init: c_e, c_lp, pr_e, pr_lp
+    sf[:] = jnp.zeros((RW, _LANE), jnp.float32)
+    set_sf(_S_CE, E0)
+    set_sf(_S_PRE, E0)
+    set_sf(_S_CLP, lp0)
+    set_sf(_S_PRLP, lp0)
+
+    b_coef, a_coef = refs["coeffs"]
+
+    def rowdot(a, bb):
+        return segsum(a * bb)
+
+    def logbern(log_p):
+        # NaN log_p yields False (reference math.py:21-25 raises; we mask)
+        return jnp.log(uniform((RW, K))) < log_p
+
+    def outer_body(carry):
             depth, _ = carry
             active = ((soc(_O_DIV) == 0) & (soc(_O_TURN) == 0)
                       & (soc(_O_DEPTH) < mdc_v))
@@ -592,19 +633,69 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
             cont = ((depth + 1) < max_sched) & jnp.any(nxt)
             return (depth + 1, cont)
 
-        def outer_cond(carry):
-            depth, cont = carry
-            return cont
+    def outer_cond(carry):
+        depth, cont = carry
+        return cont
 
-        cont0 = max_sched > 0
-        lax.while_loop(outer_cond, outer_body, (jnp.int32(0), cont0))
+    cont0 = max_sched > 0
+    lax.while_loop(outer_cond, outer_body, (jnp.int32(0), cont0))
+
+
+def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
+                       metric="diag", prng="tpu", pack=1):
+    """The per-draw kernel: one NUTS transition per ``pallas_call``."""
+    del D  # stack depth is carried by the scratch ref shapes
+    K = int(pack)           # chains per VPU row
+    RW = CB // K            # physical rows per block
+    SEG = Npad // K         # lanes per chain segment
+    assert CB % K == 0 and Npad % K == 0 and SEG >= n + _N_SCALARS
+
+    def kernel(seed_ref, q0, p0, g0, sin, var, *rest):
+        consts_refs = rest[:n_consts]
+        q_out, g_out, so = rest[n_consts:n_consts + 3]
+        (l_q, l_p, l_g, r_q, r_p, r_g, c_q, c_p, c_g, pr_q, psum,
+         sf, si, s_lp, s_rp, s_ps, s_q) = rest[n_consts + 3:]
+
+        # 64 bits of per-draw entropy (both threefry key words) plus the
+        # block id folded into the first word (prng_seed takes at most
+        # two values): 32 bits alone would birthday-collide within ~77k
+        # draws, replaying identical direction/swap streams.
+        if prng == "tpu":
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919, seed_ref[1])
+        consts = tuple(r[:] for r in consts_refs)
+        lanes = _Lanes(n, Npad, RW, K)
+        model = lanes.make_model(model_fn, consts)
+        velE, velC = lanes.make_velocities(var[:], metric)
+
+        refs = dict(
+            l_q=l_q, l_p=l_p, l_g=l_g, r_q=r_q, r_p=r_p, r_g=r_g,
+            c_q=c_q, c_p=c_p, c_g=c_g, pr_q=pr_q, psum=psum,
+            sf=sf, si=si, so=so,
+            s_lp=s_lp, s_rp=s_rp, s_ps=s_ps, s_q=s_q, coeffs=coeffs,
+        )
+        if prng == "tpu":
+            uniform = _uniform
+        else:
+            uniform = _make_counter_uniform(
+                lanes, si, seed_ref[0] + pl.program_id(0) * 7919, seed_ref[1])
+
+        q = q0[:]
+        p = p0[:]
+        # per-chain scalar c lives in columns [c*K, (c+1)*K) of its buffer
+        lp = sin[:, _IN_LOGP * K:(_IN_LOGP + 1) * K]
+        eps_v = sin[:, _IN_EPS * K:(_IN_EPS + 1) * K]
+        mdc_v = sin[:, _IN_MAXDEPTH * K:(_IN_MAXDEPTH + 1) * K]  # f32, small ints
+        E0 = 0.5 * lanes.segsum(p * velE(p)) - lp
+
+        _run_transition(lanes, refs, model, uniform, velE, velC, Emax,
+                        q, p, g0[:], lp, E0, eps_v, mdc_v)
 
         q_out[:] = pr_q[:]
         lp_f, g_f = model(pr_q[:])
         del lp_f  # identical to the stored proposal logp (deterministic model)
         g_out[:] = g_f
-        set_so(_O_ENERGY, sfc(_S_PRE))
-        set_so(_O_LOGP, sfc(_S_PRLP))
+        so[:, _O_ENERGY * K:(_O_ENERGY + 1) * K] = sf[:, _S_PRE * K:(_S_PRE + 1) * K]
+        so[:, _O_LOGP * K:(_O_LOGP + 1) * K] = sf[:, _S_PRLP * K:(_S_PRLP + 1) * K]
 
     return kernel
 

@@ -410,21 +410,6 @@ class _ProgressSink:
         )
 
 
-_progress_sink: Optional[_ProgressSink] = None
-
-
-def _emit_tune_progress(i, ndiv):
-    s = _progress_sink
-    if s is not None:
-        s.emit(int(i) + 1, int(ndiv), tuning=True)
-
-
-def _emit_draw_progress(i, ndiv):
-    s = _progress_sink
-    if s is not None:
-        s.emit(s.tune + int(i) + 1, int(ndiv), tuning=False)
-
-
 @functools.lru_cache(maxsize=256)
 def _make_runner(kernel, tune: int, draws: int, collect_tune: bool,
                  cross_chain_adapt: bool = False, live_every: int = 0):
@@ -439,10 +424,28 @@ def _make_runner(kernel, tune: int, draws: int, collect_tune: bool,
     compiled scan — per-draw-granular progress with no chunking and no
     recompiles (the reference's live bar, ``sampling.py:455-469``).
     Requires a backend with host-callback support.
+
+    Returns ``(run, sink_box)``: the callbacks read their
+    :class:`_ProgressSink` from ``sink_box[0]`` (a per-runner holder the
+    caller installs before running and clears after). A holder per
+    runner — not a module global — so concurrent ``sample()`` calls with
+    different kernels/shapes keep separate progress state.
     """
     from .parallel.cross_chain import cross_chain_potential_pool
 
     batched_kernel = kernel  # kernels are chain-batched by construction
+
+    sink_box: list = [None]
+
+    def _emit_tune_progress(i, ndiv):
+        s = sink_box[0]
+        if s is not None:
+            s.emit(int(i) + 1, int(ndiv), tuning=True)
+
+    def _emit_draw_progress(i, ndiv):
+        s = sink_box[0]
+        if s is not None:
+            s.emit(s.tune + int(i) + 1, int(ndiv), tuning=False)
 
     def phase(states, ndiv0, n_steps: int, tuning: bool, collect: bool,
               emit_fn):
@@ -477,7 +480,7 @@ def _make_runner(kernel, tune: int, draws: int, collect_tune: bool,
             states, ndiv, draws, False, True, _emit_draw_progress)
         return states, tune_out, draw_out
 
-    return run
+    return run, sink_box
 
 
 @functools.lru_cache(maxsize=256)
@@ -529,6 +532,7 @@ def _run_chunked(
     chains: int,
     callback=None,
     quiet: bool = False,
+    runner_factory=None,
 ):
     """Chunked execution with live progress and optional checkpoint/resume.
 
@@ -589,7 +593,13 @@ def _run_chunked(
             chunk = stop - done
             collect = collect_tune if tuning else True
 
-            runner = _make_chunk_runner(kernel, chunk, tuning, collect, cross_chain_adapt)
+            if runner_factory is not None:
+                # e.g. the fused multi-draw Pallas kernel: one pallas_call
+                # per chunk instead of a scan of per-draw kernels
+                runner = runner_factory(chunk, tuning, collect)
+            else:
+                runner = _make_chunk_runner(kernel, chunk, tuning, collect,
+                                            cross_chain_adapt)
             states, out, ndiv = runner(states)
             if collect:
                 outs.append(out)
@@ -927,12 +937,59 @@ def sample(
             "starting point. The model might be misspecified."
         )
 
+    # --- The fused multi-draw fast path ----------------------------------
+    # When a Pallas trajectory spec is in play for NUTS with a diagonal
+    # metric, run T transitions per pallas_call (momentum refresh, dual
+    # averaging, and Welford adaptation on core) instead of one kernel
+    # launch + XLA epilogue per draw — the round-2 measurement showed a
+    # 17x gap between the raw kernel and e2e sample() paid entirely in
+    # those per-draw fixed costs. Draw streams depend on the chunk
+    # boundaries here (one PRNG seed per chunk), so runs are reproducible
+    # for fixed (seed, chunking) but differ bitwise across progress_every
+    # settings — the per-draw paths don't.
+    effective_spec = (resolved_pallas if resolved_pallas is not _PALLAS_UNSET
+                      else getattr(step, "pallas_trajectory", None))
+    if isinstance(effective_spec, str):
+        effective_spec = None
+    fused_factory = None
+    if (effective_spec is not None and isinstance(step, NUTS)
+            and step.config.step_rand is None
+            and not cross_chain_adapt and model_axis is None):
+        from .nuts import build_fused_nuts_runner_factory
+        from .ops.nuts_trajectory_pallas import usable_chain_count
+
+        n_chain_devs = 1
+        if mesh is not None:
+            n_chain_devs = (mesh.shape[chain_axis]
+                            if chain_axis in mesh.shape else mesh.size)
+        local_chains = chains // n_chain_devs
+        pot_template = step.potential
+        if pot_template is None and not full:
+            pot_template = _make_adaptive_potential(
+                model_ndim, jnp.zeros(model_ndim, dtype), False, dtype)
+        if (pot_template is not None
+                and isinstance(pot_template, (QuadPotentialDiag,
+                                              QuadPotentialDiagAdapt))
+                and usable_chain_count(local_chains, 256)):
+            try:
+                fused_factory = build_fused_nuts_runner_factory(
+                    step.config, effective_spec, pot_template, model_ndim,
+                    local_chains, mesh=mesh, chain_axis=chain_axis,
+                    interpret=step.pallas_interpret,
+                )
+            except ValueError as e:
+                _log.info("Fused NUTS kernel unavailable (%s); using the "
+                          "per-draw path.", e)
+
     # --- The compiled sampling program -----------------------------------
     # The pallas trajectory op (if any) must be shard_map-wrapped over a
     # multi-device mesh: GSPMD cannot auto-partition a pallas_call.
-    kernel = step.build_kernel(logp_grad, mesh=mesh, chain_axis=chain_axis,
-                               pooled_metric=cross_chain_adapt,
-                               pallas_trajectory=resolved_pallas)
+    if fused_factory is None:
+        kernel = step.build_kernel(logp_grad, mesh=mesh, chain_axis=chain_axis,
+                                   pooled_metric=cross_chain_adapt,
+                                   pallas_trajectory=resolved_pallas)
+    else:
+        kernel = None  # every chunk runs through the fused runner
     collect_tune = not discard_tuned_samples
 
     if progressbar:
@@ -958,17 +1015,20 @@ def sample(
             "Multi-process checkpointing: %r must be on a filesystem "
             "shared by all %d processes.", checkpoint_dir, jax.process_count(),
         )
-    if progress_every or checkpoint_dir or resume or callback or auto_chunk:
+    if (progress_every or checkpoint_dir or resume or callback or auto_chunk
+            or fused_factory is not None):
         final_states, outs = _run_chunked(
             kernel, states0, tune, draws, collect_tune, cross_chain_adapt,
             progress_every=progress_every
-            or (_AUTO_CHUNK if auto_chunk else max(1, (tune + draws) // 10)),
+            or (_AUTO_CHUNK if (auto_chunk or fused_factory is not None)
+                else max(1, (tune + draws) // 10)),
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every,
             resume=resume,
             chains=chains,
             callback=callback,
             quiet=not progressbar,
+            runner_factory=fused_factory,
         )
     else:
         # Live in-scan progress (reference's per-draw bar with a running
@@ -979,10 +1039,9 @@ def sample(
         live_every = 0
         if progressbar and (tune + draws) > 25 and _supports_host_callbacks():
             live_every = 25
-        global _progress_sink
-        run = _make_runner(kernel, tune, draws, collect_tune,
-                           cross_chain_adapt, live_every)
-        _progress_sink = _ProgressSink(chains, tune, draws) if live_every else None
+        run, sink_box = _make_runner(kernel, tune, draws, collect_tune,
+                                     cross_chain_adapt, live_every)
+        sink_box[0] = _ProgressSink(chains, tune, draws) if live_every else None
         try:
             final_states, tune_out, draw_out = run(states0)
             jax.block_until_ready(draw_out)
@@ -990,13 +1049,13 @@ def sample(
             if live_every:
                 # block_until_ready does not flush pending debug
                 # callbacks; without the barrier the final progress line
-                # can race the sink teardown (sample() is not designed
-                # for concurrent multi-threaded invocation)
+                # can race the sink teardown (two concurrent calls that
+                # share this exact runner also share its sink holder)
                 try:
                     jax.effects_barrier()
                 except Exception:
                     pass
-            _progress_sink = None
+            sink_box[0] = None
         outs = ([tune_out] if collect_tune else []) + [draw_out]
 
     elapsed = time.perf_counter() - t0

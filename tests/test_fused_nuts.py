@@ -1,0 +1,175 @@
+"""Tests for the fused multi-draw NUTS kernel (T transitions/pallas_call).
+
+The tree-building inside each transition is the same code the per-draw
+kernel runs (``_run_transition``), already covered by
+``test_trajectory_pallas.py``. What is NEW in the fused kernel — and
+what these tests pin down — is the on-core *adaptation*: momentum
+refresh, dual averaging (reference ``step_sizes.py:85-92``) and the
+dual-window Welford metric update (reference ``quadpotential.py:231-245``)
+now run inside the kernel. Each test replays the kernel's own per-draw
+outputs (accepted positions, acceptance statistics) through the XLA-side
+reference implementations and requires the final carried state to match.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import littlemcmc_tpu as lmc
+from littlemcmc_tpu import models
+from littlemcmc_tpu.base import NUTSConfig
+from littlemcmc_tpu.ops.fused_nuts_pallas import build_fused_nuts_op
+from littlemcmc_tpu.quadpotential import QuadPotentialDiagAdapt
+from littlemcmc_tpu.step_sizes import DualAverageState, dual_average_update
+
+
+def _run_fused(model, C, T, tuning, n_samples0=0.0, window0=101.0, seed=7):
+    n = model.ndim
+    spec = model.pallas_trajectory_spec()
+    cfg = NUTSConfig()
+    op = build_fused_nuts_op(spec, n, T, tuning, True, cfg,
+                             interpret=True, chain_block=max(8, C))
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(0.5 * rng.randn(C, n), jnp.float32)
+    lp, g = jax.vmap(model.logp_grad)(q)
+    step0 = 0.25 / n ** 0.25
+    da0 = dict(
+        log_step=jnp.full(C, np.log(step0), jnp.float32),
+        log_bar=jnp.full(C, np.log(step0), jnp.float32),
+        hbar=jnp.zeros(C, jnp.float32),
+        count=jnp.ones(C, jnp.float32),
+        mu=jnp.full(C, np.log(10 * step0), jnp.float32),
+    )
+    # a mid-adaptation Welford state (foreground warm, background cold)
+    fg_mean = jnp.asarray(0.05 * rng.randn(C, n), jnp.float32)
+    fg_raw = jnp.asarray(10.0 * (1 + 0.1 * rng.rand(C, n)), jnp.float32)
+    welford = (
+        fg_mean, fg_raw, jnp.full(C, 10.0), jnp.full(C, 100.0),
+        jnp.asarray(0.01 * rng.randn(C, n), jnp.float32),
+        jnp.asarray(0.5 * rng.rand(C, n), jnp.float32),
+        jnp.full(C, float(max(0.0, n_samples0))),
+        jnp.full(C, float(max(0.0, n_samples0))),
+        jnp.full(C, float(n_samples0)), jnp.full(C, float(window0)),
+    )
+    var0 = fg_raw / 10.0
+    out = op(q, g, lp, jnp.zeros(C), da0["log_step"], da0["log_bar"],
+             da0["hbar"], da0["count"], da0["mu"], var0, welford,
+             jnp.asarray([seed, seed + 1], jnp.int32))
+    return out, da0, welford, var0
+
+
+def _replay_da(da0, mta, cfg=NUTSConfig(), adapting=True):
+    """Apply the XLA-side dual-averaging update per draw."""
+    state = DualAverageState(
+        log_step=da0["log_step"], log_bar=da0["log_bar"], hbar=da0["hbar"],
+        count=da0["count"].astype(jnp.int32), mu=da0["mu"],
+    )
+    for t in range(mta.shape[0]):
+        state = dual_average_update(
+            state, jnp.asarray(mta[t]), adapting,
+            target=cfg.target_accept, gamma=cfg.gamma, k=cfg.k, t0=cfg.t0,
+        )
+    return state
+
+
+def _replay_welford(welford, var0, trace, tuning):
+    """Apply QuadPotentialDiagAdapt.update per accepted position."""
+    fgm, fgr, fgw, fgw2, bgm, bgr, bgw, bgw2, pn, win = welford
+    C, n = fgm.shape
+    from littlemcmc_tpu.quadpotential import WelfordVariance
+
+    pot = QuadPotentialDiagAdapt(
+        var=var0, stds=jnp.sqrt(var0), inv_stds=1.0 / jnp.sqrt(var0),
+        fg=WelfordVariance(w_sum=fgw, w_sum2=fgw2, mean=fgm, raw_var=fgr),
+        bg=WelfordVariance(w_sum=bgw, w_sum2=bgw2, mean=bgm, raw_var=bgr),
+        n_samples=pn.astype(jnp.int32), window=win.astype(jnp.int32),
+    )
+    upd = jax.vmap(lambda p, x: p.update(x, x, tuning))
+    for t in range(trace.shape[0]):
+        pot = upd(pot, jnp.asarray(trace[t]))
+    return pot
+
+
+def test_fused_dual_averaging_matches_reference_update():
+    out, da0, _, _ = _run_fused(models.StandardNormal(3), C=16, T=6,
+                                tuning=True)
+    expect = _replay_da(da0, np.asarray(out["mean_tree_accept"]))
+    np.testing.assert_allclose(np.asarray(out["da_log_step"]),
+                               np.asarray(expect.log_step), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["da_log_bar"]),
+                               np.asarray(expect.log_bar), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["da_hbar"]),
+                               np.asarray(expect.hbar), rtol=2e-5, atol=2e-5)
+    assert np.all(np.asarray(out["da_count"]) == np.asarray(expect.count))
+    # the per-draw step_size stat is exp(log_step after that draw's update)
+    assert np.allclose(np.asarray(out["step_size"])[-1],
+                       np.exp(np.asarray(out["da_log_step"])), rtol=1e-5)
+
+
+def test_fused_welford_matches_reference_update():
+    out, _, welford, var0 = _run_fused(models.StandardNormal(3), C=16, T=6,
+                                       tuning=True)
+    pot = _replay_welford(welford, var0, np.asarray(out["trace"]), True)
+    np.testing.assert_allclose(np.asarray(out["var"]),
+                               np.asarray(pot.var), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out["fg_mean"]),
+                               np.asarray(pot.fg.mean), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out["fg_raw"]),
+                               np.asarray(pot.fg.raw_var), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["bg_raw"]),
+                               np.asarray(pot.bg.raw_var), rtol=2e-5,
+                               atol=2e-5)
+    assert np.all(np.asarray(out["n_samples"]) == 6)
+
+
+def test_fused_welford_window_swap():
+    """Cross the window=101 boundary inside one fused chunk."""
+    out, _, welford, var0 = _run_fused(models.StandardNormal(2), C=8, T=5,
+                                       tuning=True, n_samples0=99.0)
+    pot = _replay_welford(welford, var0, np.asarray(out["trace"]), True)
+    # swap happened at n_samples=101 (pre-add check on draw 3 of 5)
+    np.testing.assert_allclose(np.asarray(out["fg_w"]),
+                               np.asarray(pot.fg.w_sum), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["bg_w"]),
+                               np.asarray(pot.bg.w_sum), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["fg_mean"]),
+                               np.asarray(pot.fg.mean), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out["var"]),
+                               np.asarray(pot.var), rtol=2e-5, atol=2e-6)
+    # the background was freshly reset by the swap: small counts
+    assert np.asarray(out["bg_w"]).max() < 5
+
+
+def test_fused_draw_phase_freezes_adaptation():
+    out, da0, welford, var0 = _run_fused(models.StandardNormal(3), C=16, T=4,
+                                         tuning=False)
+    np.testing.assert_array_equal(np.asarray(out["da_log_step"]),
+                                  np.asarray(da0["log_step"]))
+    np.testing.assert_array_equal(np.asarray(out["da_count"]),
+                                  np.asarray(da0["count"]))
+    np.testing.assert_array_equal(np.asarray(out["var"]), np.asarray(var0))
+    np.testing.assert_array_equal(np.asarray(out["fg_mean"]),
+                                  np.asarray(welford[0]))
+    assert np.all(np.asarray(out["n_samples"]) == 0)
+    # draws still move and stats flow
+    assert np.asarray(out["depth"]).mean() > 0
+    assert 0 < np.asarray(out["mean_tree_accept"]).mean() <= 1
+
+
+def test_fused_momentum_refresh_is_gaussian():
+    """Heavy-T sanity: long-run variance of a known target is right."""
+    model = models.StandardNormal(4)
+    step = lmc.NUTS(model_ndim=4,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4,
+                        draws=600, tune=300, chains=16, random_seed=11,
+                        step=step, progressbar=False)
+    tr = np.asarray(tr).reshape(-1, 4)
+    assert abs(tr.mean()) < 0.05
+    assert np.all(np.abs(tr.var(0) - 1.0) < 0.12), tr.var(0)
+    assert np.asarray(st["diverging"]).mean() < 0.01
