@@ -2,6 +2,7 @@
 
 test:
 	python -m pytest tests/ -q
+	python -m pytest --doctest-modules littlemcmc_tpu -q
 
 test-fast:
 	python -m pytest tests/ -q -x -k "not recovery and not parity"
@@ -9,7 +10,7 @@ test-fast:
 # Run the TPU-gated Pallas trajectory-kernel tests on the real chip
 # (they are skipped under the default CPU-forced suite).
 test-tpu:
-	LMC_TEST_PLATFORM=tpu python -m pytest tests/test_trajectory_pallas.py tests/test_autospec.py tests/test_hmc_pallas.py -q -rs
+	LMC_TEST_PLATFORM=tpu python -m pytest tests/test_trajectory_pallas.py tests/test_autospec.py tests/test_hmc_pallas.py tests/test_fused_nuts.py -q -rs
 
 doctest:
 	python -m pytest --doctest-modules littlemcmc_tpu -q
@@ -20,8 +21,13 @@ bench:
 baseline:
 	python scripts/measure_reference_baseline.py
 
+# Enforced in CI (lint.yml): black --check, pydocstyle, mypy. Locally this
+# image has none of them; compileall is the offline floor.
 lint:
 	python -m compileall -q littlemcmc_tpu tests bench.py __graft_entry__.py
+	@command -v black >/dev/null && black --check --line-length 88 littlemcmc_tpu tests bench.py __graft_entry__.py || echo "black not installed (CI runs it)"
+	@command -v pydocstyle >/dev/null && pydocstyle littlemcmc_tpu || echo "pydocstyle not installed (CI runs it)"
+	@command -v mypy >/dev/null && mypy littlemcmc_tpu || echo "mypy not installed (CI runs it)"
 
 validate:
 	python scripts/deep_validation.py

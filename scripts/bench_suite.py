@@ -20,6 +20,7 @@ sys.path.insert(0, REPO)
 
 def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=42,
                target_accept=0.8, pallas=True, step_method="nuts",
+               annotations=None, extra_metrics=None,
                **sample_kwargs):
     import jax
     import littlemcmc_tpu as lmc
@@ -82,6 +83,10 @@ def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=
     if getattr(model, "true_var", None) is not None:
         var = trace.reshape(-1, ndim).var(axis=0)
         out["var_ratio_mean"] = round(float((var / model.true_var).mean()), 3)
+    if extra_metrics is not None:
+        out.update(extra_metrics(trace, stats))
+    if annotations:
+        out.update(annotations)
     print(json.dumps(out))
     return out
 
@@ -116,9 +121,45 @@ def main():
         init="jitter+adapt_full", cross_chain_adapt=True,
     )
     results["funnel_10d"] = run_config(
-        "Neal's funnel 10-d (config 3)", models.NealsFunnel(10),
+        "Neal's funnel 10-d, centered (config 3) — STRESS CONFIG",
+        models.NealsFunnel(10),
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
         target_accept=0.9,
+        annotations={
+            # The centered parameterization is the standard divergence
+            # stress test: NO sampler with a fixed step size traverses
+            # the funnel's neck unbiased. Expected envelope measured
+            # against the reference's own sequential path (VALIDATION.md
+            # config 4): v-std ~2.5 vs exact 3.0 here, ~2.1 for the
+            # reference; R-hat > 1.1 and a few % divergences are the
+            # config working as intended, not a regression. The
+            # non-centered row below is the production parameterization
+            # and gates at R-hat < 1.05.
+            "stress_config": True,
+            "expected_envelope": {"max_rhat": "<= 1.35",
+                                  "divergence_rate": "<= 0.05"},
+        },
+    )
+
+    def _funnel_space_metrics(model):
+        def metrics(trace, stats):
+            import jax.numpy as jnp
+
+            fun = np.asarray(model.transform(jnp.asarray(trace)))
+            v = fun[..., 0].reshape(-1)
+            return {
+                "funnel_v_std": round(float(v.std()), 3),
+                "funnel_v_std_exact": model.scale,
+            }
+        return metrics
+
+    ncf = models.NonCenteredFunnel(10)
+    results["funnel_10d_noncentered"] = run_config(
+        "Neal's funnel 10-d, non-centered (config 3, production form)",
+        ncf,
+        chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
+        extra_metrics=_funnel_space_metrics(ncf),
+        annotations={"gate": "max_rhat < 1.05"},
     )
     results["logistic_25p"] = run_config(
         "Logistic regression 25 params (config 4)", models.LogisticRegression(),

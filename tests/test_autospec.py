@@ -211,3 +211,52 @@ def test_probe_matrix_model_breadth():
         if not probe_spec(spec):
             failures.append(name)
     assert not failures, f"models failed the Mosaic probe: {failures}"
+
+
+def test_gather_scatter_model_falls_back_cleanly(caplog):
+    """The documented gather/scatter failure class: a group-indexed
+    hierarchical model (``jnp.take`` + ``segment_sum``). Whether or not
+    Mosaic can lower it on the current backend, the contract is: the
+    auto path either produces a spec that passes the probe, or falls
+    back to the XLA tree with a log line — and ``sample()`` is
+    statistically correct either way (the reference's "bring your own
+    logp" contract, quickstart.rst:37-49).
+    """
+    import logging
+
+    import littlemcmc_tpu as lmc
+    from littlemcmc_tpu.ops.autospec import try_auto_spec
+
+    rng = np.random.RandomState(3)
+    groups = jnp.asarray(rng.randint(0, 4, size=40))
+    yobs = jnp.asarray(rng.randn(40) * 0.5 + np.array([1.0, -1.0, 0.5, 0.0])[
+        np.asarray(groups)], jnp.float32)
+
+    def logp(q):
+        # q = [mu_pop, theta_1..4]: gather per-row group means, scatter
+        # residual sums per group
+        theta = q[1:]
+        mu_row = jnp.take(theta, groups)              # gather
+        resid = yobs - mu_row
+        per_group = jax.ops.segment_sum(resid ** 2, groups, num_segments=4)
+        return (-0.5 * jnp.sum(per_group)
+                - 0.5 * jnp.sum((theta - q[0]) ** 2) - 0.05 * q[0] ** 2)
+
+    with caplog.at_level(logging.INFO, logger="littlemcmc_tpu"):
+        spec = try_auto_spec(logp, 5, is_logp_only=True)
+    if spec is None:
+        # clean, logged fallback
+        assert any("XLA tree" in r.message for r in caplog.records), (
+            [r.message for r in caplog.records])
+
+    # end-to-end correctness regardless of which path was selected
+    trace, stats = lmc.sample(logp_fn=logp, model_ndim=5, chains=8,
+                              tune=300, draws=500, random_seed=2,
+                              progressbar=False)
+    tr = np.asarray(trace).reshape(-1, 5)
+    # posterior group means must recover the data's group means
+    for g in range(4):
+        data_mean = float(yobs[np.asarray(groups) == g].mean())
+        post = tr[:, 1 + g].mean()
+        assert abs(post - data_mean) < 0.35, (g, post, data_mean)
+    assert np.asarray(stats["diverging"]).mean() < 0.02
