@@ -516,6 +516,10 @@ def _make_chunk_runner(kernel, chunk: int, tuning: bool, collect: bool,
 
 _AUTO_CHUNK = 250
 
+# chain count at which adapt_full auto-promotes to cross-chain pooled
+# adaptation (see POOLED_VS_PERCHAIN.json for the measurement)
+_POOLED_PROMOTE_CHAINS = 128
+
 
 def _run_chunked(
     kernel,
@@ -685,7 +689,7 @@ def sample(
     chain_axis: str = "chains",
     model_axis: Optional[str] = None,
     dtype=jnp.float32,
-    cross_chain_adapt: bool = False,
+    cross_chain_adapt: Optional[bool] = None,
     return_final_state: bool = False,
     progress_every: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
@@ -786,6 +790,27 @@ def sample(
         _log.warning(
             "`step` was provided; ignoring step-method kwargs: %s "
             "(set them on the step constructor instead)", sorted(kwargs))
+
+    # --- Resolve cross_chain_adapt="auto" (None) -------------------------
+    # Measured (POOLED_VS_PERCHAIN.json): pooling the Welford covariance
+    # across vectorized chains dominates the reference's per-chain
+    # estimation for dense metrics at vector chain counts — each tuning
+    # window sees chains-times more data, the adapted metric is closer to
+    # the true covariance, trees are shallower, and the Pallas pooled-
+    # dense fast path applies (3.8x e2e on the 100-d config 2b). Promote
+    # automatically for adapt_full at >= _POOLED_PROMOTE_CHAINS chains;
+    # pass cross_chain_adapt=False explicitly for the reference's
+    # per-chain estimator.
+    if cross_chain_adapt is None:
+        is_full_adapt = full or isinstance(step.potential, QuadPotentialFullAdapt)
+        cross_chain_adapt = bool(
+            is_full_adapt and chains >= _POOLED_PROMOTE_CHAINS)
+        if cross_chain_adapt:
+            _log.info(
+                "Promoting adapt_full to cross-chain pooled adaptation at "
+                "%d chains (measured to dominate per-chain estimation — "
+                "POOLED_VS_PERCHAIN.json; pass cross_chain_adapt=False for "
+                "the reference's per-chain estimator).", chains)
 
     # --- Resolve the "auto" Pallas fast path ----------------------------
     # Fast-by-default for NUTS *and* HamiltonianMC: when the run is on

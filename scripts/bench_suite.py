@@ -112,7 +112,12 @@ def main():
         "100-d correlated Gaussian, full adapt (config 2b)",
         models.CorrelatedGaussian(100),
         chains=256 // scale, tune=500 // scale, draws=1000 // scale,
-        init="jitter+adapt_full",
+        # explicit False: this row is the reference-parity per-chain
+        # estimator; at >=128 chains sample() otherwise auto-promotes to
+        # pooled adaptation (the next row / POOLED_VS_PERCHAIN.json)
+        init="jitter+adapt_full", cross_chain_adapt=False,
+        annotations={"estimator": "per-chain (reference parity); "
+                     "auto-promotion would select the pooled row below"},
     )
     results["corr_gaussian_100d_full_pooled"] = run_config(
         "100-d corr Gaussian, cross-chain pooled full adapt (extension)",

@@ -31,12 +31,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N = 100
-TUNE, DRAWS = 300, 300
 
 
 def run(args):
     import jax
+
+    N = args.ndim
+    TUNE = DRAWS = args.iters
 
     if args.coordinator:
         jax.distributed.initialize(
@@ -110,7 +111,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 sys.argv = ["pod_bench.py", "--coordinator", "127.0.0.1:%PORT%",
             "--num-processes", "2", "--process-id", str(pid),
-            "--chains-per-device", "4", "--out", "BENCH_POD_REHEARSAL.json"]
+            "--chains-per-device", "4", "--ndim", "8", "--iters", "100",
+            "--out", "BENCH_POD_REHEARSAL.json"]
 __file__ = %SELF%
 exec(compile(open(__file__).read(), __file__, "exec"))
 """
@@ -146,6 +148,9 @@ def main():
     ap.add_argument("--multihost", action="store_true",
                     help="jax.distributed auto-init (TPU pod env)")
     ap.add_argument("--chains-per-device", type=int, default=1024)
+    ap.add_argument("--ndim", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=300,
+                    help="tune and draw count (each)")
     ap.add_argument("--single-device-tps", type=float, default=None,
                     help="recorded 1-device transitions/s for the "
                          "efficiency ratio")

@@ -176,3 +176,28 @@ def test_model_axis_validation_errors():
         lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=10, chains=8,
                    init="adapt_full", mesh=mesh, model_axis="nope",
                    tune=2, draws=2, progressbar=False)
+
+
+def test_adapt_full_auto_promotes_to_pooled_at_vector_chain_counts():
+    """cross_chain_adapt=None (default) promotes adapt_full to pooled
+    adaptation at >= 128 chains (measured dominance —
+    POOLED_VS_PERCHAIN.json); explicit False keeps the reference's
+    per-chain estimator."""
+    import jax.numpy as jnp
+
+    from tests.conftest import std_normal_logp_grad
+
+    kwargs = dict(
+        logp_dlogp_func=std_normal_logp_grad, model_ndim=3, chains=128,
+        tune=80, draws=20, init="jitter+adapt_full", random_seed=12,
+        progressbar=False, return_final_state=True,
+    )
+    _, _, st_auto = lmc.sample(**kwargs)
+    cov = np.asarray(st_auto.potential.cov)
+    # pooled: every chain carries the same metric
+    np.testing.assert_array_equal(cov[0], cov[1])
+    np.testing.assert_array_equal(cov[0], cov[-1])
+
+    _, _, st_pc = lmc.sample(cross_chain_adapt=False, **kwargs)
+    cov_pc = np.asarray(st_pc.potential.cov)
+    assert not np.array_equal(cov_pc[0], cov_pc[1])
