@@ -279,3 +279,149 @@ def _build_pallas_hmc_kernel(logp_grad_fn, config, trajectory_spec, mesh,
         return new_states, info
 
     return kernel
+
+
+def build_fused_hmc_runner_factory(
+    config: HMCConfig,
+    trajectory_spec,
+    potential_template,
+    model_ndim: int,
+    local_chains: int,
+    mesh=None,
+    chain_axis: str = "chains",
+    interpret: bool = False,
+):
+    """Chunk-runner factory for the fused multi-draw Pallas HMC kernel.
+
+    Same contract as :func:`littlemcmc_tpu.nuts.build_fused_nuts_runner_factory`
+    (one ``pallas_call`` per chunk: on-core momentum refresh, jittered
+    path length, dual averaging, Welford adaptation), with HMC's stats.
+    """
+    from .nuts import _fused_welford_tuple, _split_each
+    from .ops.fused_hmc_pallas import build_fused_hmc_op
+    from .ops.nuts_trajectory_pallas import resolve_pack
+    from .quadpotential import (QuadPotentialDiag, QuadPotentialDiagAdapt,
+                                WelfordVariance)
+    from .step_sizes import DualAverageState
+
+    adapt_metric = isinstance(potential_template, QuadPotentialDiagAdapt)
+    if not adapt_metric and not isinstance(potential_template, QuadPotentialDiag):
+        raise ValueError("the fused HMC kernel requires a diagonal metric")
+    window_multiplier = (potential_template.window_multiplier
+                         if adapt_metric else 1.0)
+    pack = resolve_pack(trajectory_spec, model_ndim, local_chains)
+
+    @functools.lru_cache(maxsize=64)
+    def factory(chunk: int, tuning: bool, collect: bool):
+        op = build_fused_hmc_op(
+            trajectory_spec, model_ndim, chunk, bool(tuning),
+            adapt_metric, config, window_multiplier,
+            interpret=interpret, pack=pack,
+        )
+
+        def call_op(states: ChainState, seed):
+            pot = states.potential
+            var = pot.var if adapt_metric else pot.v
+            welford = _fused_welford_tuple(pot) if adapt_metric else None
+            return op(
+                states.q, states.q_grad, states.logp,
+                states.iter_count.astype(jnp.float32),
+                states.da.log_step, states.da.log_bar, states.da.hbar,
+                states.da.count.astype(jnp.float32), states.da.mu,
+                var, welford, seed,
+            )
+
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec
+
+            Pc = PartitionSpec(chain_axis)
+            Pr = PartitionSpec()
+
+            def call_local(states, seed):
+                dev = jax.lax.axis_index(chain_axis).astype(jnp.int32)
+                seed = seed + jnp.stack([dev * jnp.int32(1000003),
+                                         jnp.int32(0)])
+                return call_op(states, seed)
+
+            def sharded_call(states, seed):
+                in_specs = (jax.tree.map(lambda _: Pc, states,
+                                         is_leaf=lambda x: x is None), Pr)
+                out_shapes = jax.eval_shape(call_op, states, seed)
+                out_specs = jax.tree.map(
+                    lambda sh: (PartitionSpec(None, chain_axis)
+                                if len(sh.shape) >= 2 and sh.shape[0] == chunk
+                                else Pc),
+                    out_shapes,
+                )
+                return shard_map(
+                    call_local, mesh=mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_vma=False,
+                )(states, seed)
+
+            runner_call = sharded_call
+        else:
+            runner_call = call_op
+
+        @jax.jit
+        def run_chunk(states: ChainState):
+            key_next, k_seed = _split_each(states.rng_key, 2)
+            seed = jax.random.key_data(k_seed)[0].astype(jnp.int32)
+            outs = runner_call(states, seed)
+
+            da = DualAverageState(
+                log_step=outs["da_log_step"],
+                log_bar=outs["da_log_bar"],
+                hbar=outs["da_hbar"],
+                count=outs["da_count"].astype(jnp.int32),
+                mu=outs["da_mu"],
+            )
+            if adapt_metric:
+                var = outs["var"]
+                stds = jnp.sqrt(var)
+                potential = QuadPotentialDiagAdapt(
+                    var=var, stds=stds, inv_stds=1.0 / stds,
+                    fg=WelfordVariance(
+                        w_sum=outs["fg_w"], w_sum2=outs["fg_w2"],
+                        mean=outs["fg_mean"], raw_var=outs["fg_raw"]),
+                    bg=WelfordVariance(
+                        w_sum=outs["bg_w"], w_sum2=outs["bg_w2"],
+                        mean=outs["bg_mean"], raw_var=outs["bg_raw"]),
+                    n_samples=outs["n_samples"].astype(jnp.int32),
+                    window=outs["window"].astype(jnp.int32),
+                    window_multiplier=window_multiplier,
+                )
+            else:
+                potential = states.potential
+
+            new_states = ChainState(
+                rng_key=key_next,
+                q=outs["q"],
+                q_grad=outs["grad"],
+                logp=outs["logp"],
+                potential=potential,
+                da=da,
+                iter_count=outs["iter_count"].astype(jnp.int32),
+            )
+
+            tuning_arr = jnp.full(outs["accept"].shape, bool(tuning))
+            info = HMCInfo(
+                step_size=outs["step_size"],
+                n_steps=outs["n_steps"],
+                tune=tuning_arr,
+                step_size_bar=outs["step_size_bar"],
+                accept=outs["accept"],
+                diverging=outs["diverging"],
+                energy_error=outs["energy_error"],
+                energy=outs["energy"],
+                path_length=outs["path_length"],
+                accepted=outs["accepted"],
+                model_logp=outs["model_logp"],
+            )
+            ndiv = jnp.sum(info.diverging).astype(jnp.int32)
+            out = (outs["trace"], info) if collect else None
+            return new_states, out, ndiv
+
+        return run_chunk
+
+    return factory

@@ -96,6 +96,81 @@ def _log1mexp(x):
     )
 
 
+def _boxmuller_momentum(lanes, uniform, V):
+    """On-core momentum refresh: p ~ N(0, M) for the diagonal metric.
+
+    Box–Muller over two full-row uniforms; padding lanes zeroed (their
+    ``V`` entries are zero-padding, not variances).
+    """
+    RW, Npad = lanes.RW, lanes.Npad
+    u1 = uniform((RW, Npad))
+    u2 = uniform((RW, Npad))
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    qmask = lanes.qmask
+    return jnp.where(qmask, z / jnp.sqrt(jnp.where(qmask, V, 1.0)), 0.0)
+
+
+def _da_update_cols(sac, set_sa, mta, config):
+    """On-core dual averaging (reference ``step_sizes.py:85-92``).
+
+    Reads/writes the ``sa`` scalar columns; returns the updated
+    ``(log_step, log_bar)`` for the step-size stats.
+    """
+    cnt = sac(_A_DCNT)
+    w = 1.0 / (cnt + float(config.t0))
+    hb = (1.0 - w) * sac(_A_DHB) + w * (float(config.target_accept) - mta)
+    ls_new = sac(_A_DMU) - hb * jnp.sqrt(cnt) / float(config.gamma)
+    mk = jnp.exp(-float(config.k) * jnp.log(cnt))
+    lb_new = mk * ls_new + (1.0 - mk) * sac(_A_DLB)
+    set_sa(_A_DHB, hb)
+    set_sa(_A_DLS, ls_new)
+    set_sa(_A_DLB, lb_new)
+    set_sa(_A_DCNT, cnt + 1.0)
+    return ls_new, lb_new
+
+
+def _welford_update_rows(lanes, x, var_s, fgm_s, fgv_s, bgm_s, bgv_s,
+                         sac, set_sa, sbc, set_sb, mult):
+    """On-core dual-window Welford step (``quadpotential.py:231-245``).
+
+    Adds ``x`` to both windows, refreshes ``var_s`` from the (pre-swap)
+    foreground, swaps fg <- bg at window boundaries.
+    """
+    bc, bcb, qmask = lanes.bc, lanes.bcb, lanes.qmask
+    fw = sac(_A_FW) + 1.0
+    old_diff = x - fgm_s[:]
+    fmean = fgm_s[:] + bc(1.0 / fw) * old_diff
+    fraw = fgv_s[:] + old_diff * (x - fmean)
+    fw2 = sbc(_B_FW2) + 1.0
+    var_new = fraw * bc(1.0 / fw)
+
+    bw = sbc(_B_BW) + 1.0
+    bold = x - bgm_s[:]
+    bmean = bgm_s[:] + bc(1.0 / bw) * bold
+    braw = bgv_s[:] + bold * (x - bmean)
+    bw2 = sbc(_B_BW2) + 1.0
+
+    pn = sbc(_B_PN)
+    win = sbc(_B_PWIN)
+    # f32 modulo via floor: counts stay far below 2^24 (exact)
+    at_boundary = (pn - win * jnp.floor(pn / win)) == 0.0
+    swap = (pn > 0) & at_boundary
+    swap_b = bcb(swap)
+    fgm_s[:] = jnp.where(swap_b, bmean, fmean)
+    fgv_s[:] = jnp.where(swap_b, braw, fraw)
+    bgm_s[:] = jnp.where(swap_b, 0.0, bmean)
+    bgv_s[:] = jnp.where(swap_b, 0.0, braw)
+    set_sa(_A_FW, jnp.where(swap, bw, fw))
+    set_sb(_B_FW2, jnp.where(swap, bw2, fw2))
+    set_sb(_B_BW, jnp.where(swap, 0.0, bw))
+    set_sb(_B_BW2, jnp.where(swap, 0.0, bw2))
+    set_sb(_B_PN, pn + 1.0)
+    set_sb(_B_PWIN, jnp.where(swap, jnp.floor(win * mult), win))
+    # metric refresh from the (pre-swap) foreground, like the reference:
+    # var = fg.current_variance() before the swap
+    var_s[:] = jnp.where(qmask, var_new, 0.0)
+
+
 @functools.lru_cache(maxsize=64)
 def build_fused_nuts_op(
     spec,
@@ -252,27 +327,18 @@ def build_fused_nuts_op(
         qmask = lanes.qmask
 
         # --- on-core momentum refresh (Box–Muller) -----------------------
-        # NOTE: _run_transition zeroes the i32 scratch (the counter-PRNG
-        # call counter) at its start, so these pre-transition draws must
-        # come from uniform() BEFORE the transition... they do not: the
-        # transition's own stream restarts at counter 0 and would collide
-        # with the momentum draws. Stream-separate by drawing momentum
-        # from dedicated counter slots: simplest is to draw AFTER seeding
-        # but let the transition re-zero the counter — the momentum draws
-        # below use counter values 1, 2 and the transition restarts at 1
-        # with the SAME salt. To keep the streams disjoint the momentum
-        # draw perturbs the salt via an extra seed offset.
+        # Counter-PRNG note: _run_transition zeroes the i32 scratch (the
+        # shared call counter) at its start, so the momentum draws here
+        # would collide with the transition's own stream (same salt, same
+        # counter values). Stream-separate by salting the momentum draws
+        # with an extra seed offset.
         if prng == "tpu":
-            u1 = _uniform((RW, Npad))
-            u2 = _uniform((RW, Npad))
+            mom_uniform = _uniform
         else:
             mom_uniform = _make_counter_uniform(
                 lanes, si, seed0 + 1013904223, seed_ref[1])
             si[:, 0:_LANE] = jnp.zeros((RW, _LANE), jnp.int32)
-            u1 = mom_uniform((RW, Npad))
-            u2 = mom_uniform((RW, Npad))
-        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-        p = jnp.where(qmask, z / jnp.sqrt(jnp.where(qmask, V, 1.0)), 0.0)
+        p = _boxmuller_momentum(lanes, mom_uniform, V)
 
         E0 = 0.5 * lanes.segsum(p * velE(p)) - lp
 
@@ -305,16 +371,7 @@ def build_fused_nuts_op(
 
         # --- on-core dual averaging (step_sizes.py:85-92) ----------------
         if adapting:
-            cnt = sac(_A_DCNT)
-            w = 1.0 / (cnt + float(config.t0))
-            hb = (1.0 - w) * sac(_A_DHB) + w * (float(config.target_accept) - mta)
-            ls_new = sac(_A_DMU) - hb * jnp.sqrt(cnt) / float(config.gamma)
-            mk = jnp.exp(-float(config.k) * jnp.log(cnt))
-            lb_new = mk * ls_new + (1.0 - mk) * sac(_A_DLB)
-            set_sa(_A_DHB, hb)
-            set_sa(_A_DLS, ls_new)
-            set_sa(_A_DLB, lb_new)
-            set_sa(_A_DCNT, cnt + 1.0)
+            ls_new, lb_new = _da_update_cols(sac, set_sa, mta, config)
         else:
             ls_new = sac(_A_DLS)
             lb_new = sac(_A_DLB)
@@ -323,40 +380,10 @@ def build_fused_nuts_op(
 
         # --- on-core dual-window Welford (quadpotential.py:231-245) ------
         if adapt_metric and tuning:
-            x = prop_q  # padding lanes are zero by construction
-            bc, bcb = lanes.bc, lanes.bcb
-            fw = sac(_A_FW) + 1.0
-            old_diff = x - fgm_s[:]
-            fmean = fgm_s[:] + bc(1.0 / fw) * old_diff
-            fraw = fgv_s[:] + old_diff * (x - fmean)
-            fw2 = sbc(_B_FW2) + 1.0
-            var_new = fraw * bc(1.0 / fw)
-
-            bw = sbc(_B_BW) + 1.0
-            bold = x - bgm_s[:]
-            bmean = bgm_s[:] + bc(1.0 / bw) * bold
-            braw = bgv_s[:] + bold * (x - bmean)
-            bw2 = sbc(_B_BW2) + 1.0
-
-            pn = sbc(_B_PN)
-            win = sbc(_B_PWIN)
-            # f32 modulo via floor: counts stay far below 2^24 (exact)
-            at_boundary = (pn - win * jnp.floor(pn / win)) == 0.0
-            swap = (pn > 0) & at_boundary
-            swap_b = bcb(swap)
-            fgm_s[:] = jnp.where(swap_b, bmean, fmean)
-            fgv_s[:] = jnp.where(swap_b, braw, fraw)
-            bgm_s[:] = jnp.where(swap_b, 0.0, bmean)
-            bgv_s[:] = jnp.where(swap_b, 0.0, braw)
-            set_sa(_A_FW, jnp.where(swap, bw, fw))
-            set_sb(_B_FW2, jnp.where(swap, bw2, fw2))
-            set_sb(_B_BW, jnp.where(swap, 0.0, bw))
-            set_sb(_B_BW2, jnp.where(swap, 0.0, bw2))
-            set_sb(_B_PN, pn + 1.0)
-            set_sb(_B_PWIN, jnp.where(swap, jnp.floor(win * mult), win))
-            # metric refresh from the (pre-swap) foreground, like the
-            # reference: var = fg.current_variance() before the swap
-            var_s[:] = jnp.where(qmask, var_new, 0.0)
+            # prop_q's padding lanes are zero by construction
+            _welford_update_rows(lanes, prop_q, var_s, fgm_s, fgv_s,
+                                 bgm_s, bgv_s, sac, set_sa, sbc, set_sb,
+                                 mult)
 
         # --- advance the chain state -------------------------------------
         set_sa(_A_ITER, sac(_A_ITER) + 1.0)

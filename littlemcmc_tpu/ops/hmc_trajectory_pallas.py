@@ -38,8 +38,7 @@ from ..integration import INTEGRATOR_COEFFS
 from .nuts_trajectory_pallas import (
     _LANE,
     _N_SCALARS,
-    _PackHelpers,
-    _fmix32,
+    _Lanes,
     _uniform,
     PallasModelSpec,
     padded_dim,
@@ -56,9 +55,63 @@ _N_IN = 4
 _N_OUT = 8
 
 
+def run_hmc_trajectory_values(lanes, model, velE, coeffs, Emax, uniform,
+                              q0v, p0v, g0v, lp0, eps_v, nst_v):
+    """One fixed-count-per-chain HMC trajectory + Metropolis accept.
+
+    Pure value-level (no refs), shared by the per-draw and fused HMC
+    kernels. Returns ``(q_sel, g_sel, lp_sel, en, dE, acc_stat,
+    accepted, div, lp_end)`` — the Metropolis-selected state plus the
+    end-state statistics (reference ``hmc.py:140-171`` semantics).
+    """
+    b_coef, a_coef = coeffs
+    bc, bcb, segsum = lanes.bc, lanes.bcb, lanes.segsum
+    RW, K = lanes.RW, lanes.K
+    epsb = bc(eps_v)
+    E0 = 0.5 * segsum(p0v * velE(p0v)) - lp0
+    max_sched = jnp.max(nst_v)
+
+    def body(carry):
+        t, q, p, g, lp = carry
+        live = t < nst_v  # (RW, K) — each chain runs its own count
+        pn = p + (b_coef[0] * epsb) * g
+        qn = q
+        lpn = lp
+        gn = g
+        for i, ai in enumerate(a_coef):
+            qn = qn + (ai * epsb) * velE(pn)
+            lpn, gn = model(qn)
+            pn = pn + (b_coef[i + 1] * epsb) * gn
+        lb = bcb(live)
+        q = jnp.where(lb, qn, q)
+        p = jnp.where(lb, pn, p)
+        g = jnp.where(lb, gn, g)
+        lp = jnp.where(live, lpn, lp)
+        return (t + 1.0, q, p, g, lp)
+
+    def cond(carry):
+        t = carry[0]
+        return t < max_sched
+
+    _, q, p, g, lp = lax.while_loop(
+        cond, body, (jnp.float32(0.0), q0v, p0v, g0v, lp0))
+
+    en = 0.5 * segsum(p * velE(p)) - lp
+    dE = E0 - en  # reference: energy_change = start - end (hmc.py:158)
+    dE = jnp.where(jnp.isnan(dE), float("-inf"), dE)
+    div = (~jnp.isfinite(en)) | (jnp.abs(dE) > Emax)
+    acc_stat = jnp.minimum(1.0, jnp.exp(dE))
+    u = uniform((RW, K))
+    accepted = (~div) & (u < acc_stat)
+    accb = bcb(accepted)
+    q_sel = jnp.where(accb, q, q0v)
+    g_sel = jnp.where(accb, g, g0v)
+    lp_sel = jnp.where(accepted, lp, lp0)
+    return q_sel, g_sel, lp_sel, en, dE, acc_stat, accepted, div, lp
+
+
 def _build_hmc_kernel_body(model_fn, n_consts, n, Npad, CB, Emax, coeffs,
                            prng="tpu", pack=1):
-    b_coef, a_coef = coeffs
     K = int(pack)
     RW = CB // K
     SEG = Npad // K
@@ -70,135 +123,55 @@ def _build_hmc_kernel_body(model_fn, n_consts, n, Npad, CB, Emax, coeffs,
 
         if prng == "tpu":
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919, seed_ref[1])
-        consts = tuple(r[:] for r in consts_refs)
-        col = lax.broadcasted_iota(jnp.int32, (RW, Npad), 1)
-        colm = col % SEG if K > 1 else col
-        qmask = colm < n
-
-        if K == 1:
-            def segsum(x):
-                return jnp.sum(x, axis=1, keepdims=True)
-
-            def bc(s):
-                return s
-
-            def bcb(m):
-                return m
-        else:
-            li = lax.broadcasted_iota(jnp.int32, (Npad, K), 0)
-            ji = lax.broadcasted_iota(jnp.int32, (Npad, K), 1)
-            seg_ind_t = (li // SEG == ji).astype(jnp.float32)
-            lj = lax.broadcasted_iota(jnp.int32, (K, Npad), 0)
-            lc = lax.broadcasted_iota(jnp.int32, (K, Npad), 1)
-            seg_ind = (lc // SEG == lj).astype(jnp.float32)
-
-            def finite(x):
-                # 0 * inf = NaN through the indicator dots would poison
-                # row-mates (see the NUTS kernel); clamp first.
-                return jnp.clip(jnp.where(jnp.isnan(x), 1e30, x),
-                                -1e30, 1e30)
-
-            def segsum(x):
-                return jnp.dot(finite(x), seg_ind_t, precision="highest",
-                               preferred_element_type=jnp.float32)
-
-            def bc(s):
-                return jnp.dot(finite(s), seg_ind, precision="highest",
-                               preferred_element_type=jnp.float32)
-
-            def bcb(m):
-                return bc(m.astype(jnp.float32)) > 0.5
-
-        helpers = _PackHelpers(segsum, bc, colm, K, SEG, n, qmask)
-
-        def model(q):
-            if K == 1:
-                logp, grad = model_fn(q, *consts)
-            else:
-                logp, grad = model_fn(q, helpers, *consts)
-            return logp, jnp.where(qmask, grad, 0.0)
-
-        V = var[:]
-
-        def velE(p_):
-            return V * p_  # diagonal metric only
+        lanes = _Lanes(n, Npad, RW, K)
+        model = lanes.make_model(model_fn, tuple(r[:] for r in consts_refs))
+        velE, _ = lanes.make_velocities(var[:], "diag")
 
         if prng == "tpu":
             uniform = _uniform
         else:
-            row_i = lax.broadcasted_iota(jnp.int32, (RW, K), 0)
-            seg_i = lax.broadcasted_iota(jnp.int32, (RW, K), 1)
-            lane = row_i * K + seg_i
-            base = seed_ref[0] + pl.program_id(0) * 7919
-            salt = _fmix32(
-                (base + lane * 101027).astype(jnp.uint32)
-                ^ (jnp.asarray(seed_ref[1]).astype(jnp.uint32)
-                   * jnp.uint32(0x9E3779B9))
-            )
-            counter0 = jnp.zeros((RW, K), jnp.int32)
+            # value-carried counter (no i32 scratch in the HMC kernel):
+            # a one-element closure cell stands in for the scratch column
+            counter = [jnp.zeros((RW, K), jnp.int32)]
 
-            def uniform(shape, _c=[counter0]):
-                del shape
+            def uniform(shape, _c=counter):
+                # murmur3 counter stream, same construction as
+                # _make_counter_uniform but with the counter in a cell
+                from .nuts_trajectory_pallas import _fmix32
+
+                row_i = lax.broadcasted_iota(jnp.int32, (RW, K), 0)
+                seg_i = lax.broadcasted_iota(jnp.int32, (RW, K), 1)
+                lane = row_i * K + seg_i
+                base = seed_ref[0] + pl.program_id(0) * 7919
+                salt = _fmix32(
+                    (base + lane * 101027).astype(jnp.uint32)
+                    ^ (jnp.asarray(seed_ref[1]).astype(jnp.uint32)
+                       * jnp.uint32(0x9E3779B9))
+                )
                 _c[0] = _c[0] + 1
                 x = _fmix32(salt ^ (_c[0].astype(jnp.uint32)
-                                   * jnp.uint32(0x9E3779B9)))
+                                    * jnp.uint32(0x9E3779B9)))
                 bits24 = (x >> jnp.uint32(8)).astype(jnp.int32)
                 return (bits24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
 
-        q = q0[:]
-        p = p0[:]
-        g = g0[:]
         lp = sin[:, _IN_LOGP * K:(_IN_LOGP + 1) * K]
         eps_v = sin[:, _IN_EPS * K:(_IN_EPS + 1) * K]
         nst_v = sin[:, _IN_NSTEPS * K:(_IN_NSTEPS + 1) * K]  # f32, small ints
-        epsb = bc(eps_v)
-        E0 = 0.5 * segsum(p * velE(p)) - lp
-        max_sched = jnp.max(nst_v)
 
-        def body(carry):
-            t, q, p, g, lp = carry
-            live = t < nst_v  # (RW, K) — each chain runs its own count
-            pn = p + (b_coef[0] * epsb) * g
-            qn = q
-            lpn = lp
-            gn = g
-            for i, ai in enumerate(a_coef):
-                qn = qn + (ai * epsb) * velE(pn)
-                lpn, gn = model(qn)
-                pn = pn + (b_coef[i + 1] * epsb) * gn
-            lb = bcb(live)
-            q = jnp.where(lb, qn, q)
-            p = jnp.where(lb, pn, p)
-            g = jnp.where(lb, gn, g)
-            lp = jnp.where(live, lpn, lp)
-            return (t + 1.0, q, p, g, lp)
+        (q_sel, g_sel, lp_sel, en, dE, acc_stat, accepted, div,
+         lp_end) = run_hmc_trajectory_values(
+            lanes, model, velE, coeffs, Emax, uniform,
+            q0[:], p0[:], g0[:], lp, eps_v, nst_v)
 
-        def cond(carry):
-            t = carry[0]
-            return t < max_sched
-
-        _, q, p, g, lp = lax.while_loop(cond, body, (jnp.float32(0.0), q, p, g, lp))
-
-        en = 0.5 * segsum(p * velE(p)) - lp
-        dE = E0 - en  # reference: energy_change = start - end (hmc.py:158)
-        dE = jnp.where(jnp.isnan(dE), float("-inf"), dE)
-        div = (~jnp.isfinite(en)) | (jnp.abs(dE) > Emax)
-        acc_stat = jnp.minimum(1.0, jnp.exp(dE))
-        u = uniform((RW, K))
-        accepted = (~div) & (u < acc_stat)
-        accb = bcb(accepted)
-        q_out[:] = jnp.where(accb, q, q0[:])
-        g_out[:] = jnp.where(accb, g, g0[:])
-        lp0 = sin[:, _IN_LOGP * K:(_IN_LOGP + 1) * K]
-        lp_sel = jnp.where(accepted, lp, lp0)
-
+        q_out[:] = q_sel
+        g_out[:] = g_sel
         so[:, _O_EN * K:(_O_EN + 1) * K] = en
         so[:, _O_DE * K:(_O_DE + 1) * K] = dE
         so[:, _O_ACCSTAT * K:(_O_ACCSTAT + 1) * K] = acc_stat
         so[:, _O_ACCEPTED * K:(_O_ACCEPTED + 1) * K] = accepted.astype(jnp.float32)
         so[:, _O_DIV * K:(_O_DIV + 1) * K] = div.astype(jnp.float32)
         so[:, _O_LOGP * K:(_O_LOGP + 1) * K] = lp_sel
-        so[:, _O_LOGP_END * K:(_O_LOGP_END + 1) * K] = lp
+        so[:, _O_LOGP_END * K:(_O_LOGP_END + 1) * K] = lp_end
 
     return kernel
 

@@ -977,10 +977,10 @@ def sample(
     if isinstance(effective_spec, str):
         effective_spec = None
     fused_factory = None
-    if (effective_spec is not None and isinstance(step, NUTS)
+    if (effective_spec is not None
+            and isinstance(step, (NUTS, HamiltonianMC))
             and step.config.step_rand is None
             and not cross_chain_adapt and model_axis is None):
-        from .nuts import build_fused_nuts_runner_factory
         from .ops.nuts_trajectory_pallas import usable_chain_count
 
         n_chain_devs = 1
@@ -996,15 +996,19 @@ def sample(
                 and isinstance(pot_template, (QuadPotentialDiag,
                                               QuadPotentialDiagAdapt))
                 and usable_chain_count(local_chains, 256)):
+            if isinstance(step, NUTS):
+                from .nuts import build_fused_nuts_runner_factory as _bff
+            else:
+                from .hmc import build_fused_hmc_runner_factory as _bff
             try:
-                fused_factory = build_fused_nuts_runner_factory(
+                fused_factory = _bff(
                     step.config, effective_spec, pot_template, model_ndim,
                     local_chains, mesh=mesh, chain_axis=chain_axis,
                     interpret=step.pallas_interpret,
                 )
             except ValueError as e:
-                _log.info("Fused NUTS kernel unavailable (%s); using the "
-                          "per-draw path.", e)
+                _log.info("Fused %s kernel unavailable (%s); using the "
+                          "per-draw path.", step.name, e)
 
     # --- The compiled sampling program -----------------------------------
     # The pallas trajectory op (if any) must be shard_map-wrapped over a

@@ -79,7 +79,7 @@ def run(args):
 
     if jax.process_index() == 0:
         out = {
-            "config": "100-d correlated Gaussian, pooled diag adapt",
+            "config": f"{N}-d correlated Gaussian, pooled diag adapt",
             "devices": n_dev,
             "processes": jax.process_count(),
             "chains": chains,

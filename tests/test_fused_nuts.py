@@ -173,3 +173,101 @@ def test_fused_momentum_refresh_is_gaussian():
     assert abs(tr.mean()) < 0.05
     assert np.all(np.abs(tr.var(0) - 1.0) < 0.12), tr.var(0)
     assert np.asarray(st["diverging"]).mean() < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Fused classic-HMC kernel (ops/fused_hmc_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+def _run_fused_hmc(model, C, T, tuning, seed=7):
+    from littlemcmc_tpu.base import HMCConfig
+    from littlemcmc_tpu.ops.fused_hmc_pallas import build_fused_hmc_op
+
+    n = model.ndim
+    spec = model.pallas_trajectory_spec()
+    cfg = HMCConfig()
+    op = build_fused_hmc_op(spec, n, T, tuning, True, cfg,
+                            interpret=True, chain_block=max(8, C))
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(0.5 * rng.randn(C, n), jnp.float32)
+    lp, g = jax.vmap(model.logp_grad)(q)
+    step0 = 0.25 / n ** 0.25
+    da0 = dict(
+        log_step=jnp.full(C, np.log(step0), jnp.float32),
+        log_bar=jnp.full(C, np.log(step0), jnp.float32),
+        hbar=jnp.zeros(C, jnp.float32),
+        count=jnp.ones(C, jnp.float32),
+        mu=jnp.full(C, np.log(10 * step0), jnp.float32),
+    )
+    fg_mean = jnp.zeros((C, n), jnp.float32)
+    fg_raw = jnp.full((C, n), 10.0, jnp.float32)
+    welford = (fg_mean, fg_raw, jnp.full(C, 10.0), jnp.full(C, 100.0),
+               jnp.zeros((C, n)), jnp.zeros((C, n)), jnp.zeros(C),
+               jnp.zeros(C), jnp.zeros(C), jnp.full(C, 101.0))
+    out = op(q, g, lp, jnp.zeros(C), da0["log_step"], da0["log_bar"],
+             da0["hbar"], da0["count"], da0["mu"], fg_raw / 10.0, welford,
+             jnp.asarray([seed, seed + 1], jnp.int32))
+    return out, da0, welford, fg_raw / 10.0
+
+
+def test_fused_hmc_dual_averaging_matches_reference_update():
+    from littlemcmc_tpu.base import HMCConfig
+
+    out, da0, _, _ = _run_fused_hmc(models.StandardNormal(3), C=16, T=6,
+                                    tuning=True)
+    expect = _replay_da(da0, np.asarray(out["accept"]), cfg=HMCConfig())
+    np.testing.assert_allclose(np.asarray(out["da_log_step"]),
+                               np.asarray(expect.log_step), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["da_log_bar"]),
+                               np.asarray(expect.log_bar), rtol=2e-5,
+                               atol=2e-5)
+    assert np.all(np.asarray(out["da_count"]) == np.asarray(expect.count))
+
+
+def test_fused_hmc_welford_tracks_selected_positions():
+    out, _, welford, var0 = _run_fused_hmc(models.StandardNormal(3), C=16,
+                                           T=6, tuning=True)
+    pot = _replay_welford(welford, var0, np.asarray(out["trace"]), True)
+    np.testing.assert_allclose(np.asarray(out["var"]),
+                               np.asarray(pot.var), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out["fg_mean"]),
+                               np.asarray(pot.fg.mean), rtol=2e-5, atol=2e-6)
+    assert np.all(np.asarray(out["n_samples"]) == 6)
+    # rejected draws must repeat the previous position in the trace
+    tr = np.asarray(out["trace"])
+    acc = np.asarray(out["accepted"])
+    for t in range(1, tr.shape[0]):
+        rej = ~acc[t]
+        if rej.any():
+            np.testing.assert_array_equal(tr[t][rej], tr[t - 1][rej])
+
+
+def test_fused_hmc_n_steps_respects_bounds():
+    from littlemcmc_tpu.base import HMCConfig
+
+    out, _, _, _ = _run_fused_hmc(models.StandardNormal(2), C=8, T=5,
+                                  tuning=True)
+    nst = np.asarray(out["n_steps"])
+    pl_ = np.asarray(out["path_length"])
+    ss = np.asarray(out["step_size"])
+    cfg = HMCConfig()
+    assert nst.min() >= 1 and nst.max() <= cfg.max_steps
+    assert pl_.min() >= 0 and pl_.max() <= cfg.path_length
+
+
+def test_fused_hmc_e2e_posterior():
+    """Full sample() through the fused HMC kernel (interpret mode)."""
+    model = models.StandardNormal(4)
+    step = lmc.HamiltonianMC(model_ndim=4,
+                             pallas_trajectory=model.pallas_trajectory_spec(),
+                             pallas_interpret=True)
+    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4,
+                        draws=600, tune=300, chains=16, random_seed=13,
+                        step=step, progressbar=False)
+    tr = np.asarray(tr).reshape(-1, 4)
+    assert abs(tr.mean()) < 0.06
+    assert np.all(np.abs(tr.var(0) - 1.0) < 0.15), tr.var(0)
+    assert 0.5 < np.asarray(st["accept"]).mean() <= 1.0
+    assert set(st) == set(lmc.HamiltonianMC.stats_dtypes[0])
