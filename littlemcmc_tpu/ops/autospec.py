@@ -222,6 +222,7 @@ def make_pallas_model_spec(
     *,
     logp_fn: Optional[Callable] = None,
     dtype=jnp.float32,
+    stable_swaps: bool = True,
 ) -> PallasModelSpec:
     """Build a :class:`PallasModelSpec` from an arbitrary JAX model.
 
@@ -243,7 +244,13 @@ def make_pallas_model_spec(
     ndim = int(ndim)
     fn0 = logp_dlogp_func if logp_dlogp_func is not None else jax.value_and_grad(logp_fn)
 
-    with mosaic_friendly_calls():
+    # ``stable_swaps=False`` traces without the module-global patches and
+    # relies on _replay's jaxpr-level rewrites alone (the bool-transpose
+    # and rank-1-dot fixes postdate the patches and may subsume them —
+    # TPU-verifiable via tests/test_autospec.py's no-swaps probe).
+    swap_ctx = (mosaic_friendly_calls() if stable_swaps
+                else contextlib.nullcontext())
+    with swap_ctx:
         closed = jax.make_jaxpr(fn0)(jax.ShapeDtypeStruct((ndim,), dtype))
     out_avals = closed.out_avals
     if (

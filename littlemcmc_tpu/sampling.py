@@ -393,7 +393,13 @@ def _supports_host_callbacks() -> bool:
 
 
 class _ProgressSink:
-    """Host-side receiver for in-scan live progress callbacks."""
+    """Host-side receiver for in-scan live progress callbacks.
+
+    On a TTY this renders an in-place progress bar with a live
+    divergence counter (the reference's fastprogress bar,
+    ``parallel_sampling.py:438-445``); otherwise it falls back to log
+    lines.
+    """
 
     def __init__(self, chains: int, tune: int, draws: int):
         self.chains = chains
@@ -402,11 +408,41 @@ class _ProgressSink:
         self.t0 = time.perf_counter()
 
     def emit(self, done: int, ndiv: int, tuning: bool) -> None:
-        rate = self.chains * done / max(time.perf_counter() - self.t0, 1e-9)
+        _emit_progress(self.chains, done, self.tune + self.draws, tuning,
+                       ndiv, self.t0, final=done >= self.tune + self.draws)
+
+
+def _stderr_is_tty() -> bool:
+    import sys
+
+    try:
+        return sys.stderr.isatty()
+    except Exception:
+        return False
+
+
+def _emit_progress(chains: int, done: int, total: int, tuning: bool,
+                   ndiv: int, t0: float, final: bool = False) -> None:
+    """One progress update: in-place bar on TTYs, log line otherwise."""
+    rate = chains * done / max(time.perf_counter() - t0, 1e-9)
+    phase = "tuning" if tuning else "sampling"
+    if _stderr_is_tty():
+        import sys
+
+        width = 28
+        filled = int(width * done / max(total, 1))
+        bar = "█" * filled + "░" * (width - filled)
+        sys.stderr.write(
+            f"\r|{bar}| {done}/{total} [{phase}] "
+            f"{ndiv} divergences, {rate:,.0f} transitions/s  "
+        )
+        if final:
+            sys.stderr.write("\n")
+        sys.stderr.flush()
+    else:
         _log.info(
             "  %d/%d iterations (%s), %d divergences, %.0f transitions/s",
-            done, self.tune + self.draws, "tuning" if tuning else "sampling",
-            ndiv, rate,
+            done, total, phase, ndiv, rate,
         )
 
 
@@ -624,12 +660,8 @@ def _run_chunked(
 
             if next_progress is not None and done >= next_progress:
                 if not quiet:
-                    rate = chains * done / max(time.perf_counter() - t0, 1e-9)
-                    _log.info(
-                        "  %d/%d iterations (%s), %d divergences, %.0f transitions/s",
-                        done, total, "tuning" if done <= tune else "sampling",
-                        n_div_total, rate,
-                    )
+                    _emit_progress(chains, done, total, done <= tune,
+                                   n_div_total, t0, final=done >= total)
                 next_progress = done + progress_every
             if next_checkpoint is not None and done >= next_checkpoint:
                 from .utils.checkpoint import save_checkpoint

@@ -260,3 +260,43 @@ def test_gather_scatter_model_falls_back_cleanly(caplog):
         post = tr[:, 1 + g].mean()
         assert abs(post - data_mean) < 0.35, (g, post, data_mean)
     assert np.asarray(stats["diverging"]).mean() < 0.02
+
+
+@requires_tpu
+def test_probe_matrix_without_trace_time_swaps():
+    """Diagnostic for retiring the module-global trace-time patches.
+
+    ``_replay``'s jaxpr-level rewrites (bool transposes, rank-1 dots)
+    postdate the ``mosaic_friendly_calls`` patches and may subsume them.
+    This probes the custom-JVP-heavy models with ``stable_swaps=False``:
+    if every row lowers, the patches are redundant and can be removed
+    (VERDICT #9). Records the outcome either way — the auto path keeps
+    using the swaps until this passes on real hardware.
+    """
+    from littlemcmc_tpu.ops import probe_spec
+
+    n = 3
+    X = jnp.asarray(np.random.RandomState(0).randn(50, n), jnp.float32)
+    y = jnp.asarray((np.random.RandomState(1).rand(50) > 0.5), jnp.float32)
+    matrix = {
+        "logistic_logsigmoid": lambda b: jnp.sum(
+            y * jax.nn.log_sigmoid(X @ b)
+            + (1 - y) * jax.nn.log_sigmoid(-(X @ b))) - 0.5 * jnp.sum(b**2),
+        "softplus_link": lambda b: -jnp.sum(
+            (y - jax.nn.softplus(X @ b)) ** 2) - 0.5 * jnp.sum(b**2),
+        "logaddexp_mix": lambda b: jnp.sum(
+            jnp.logaddexp(X @ b, -(X @ b))) - 0.5 * jnp.sum(b**2),
+    }
+    outcomes = {}
+    for name, f in matrix.items():
+        try:
+            spec = make_pallas_model_spec(ndim=n, logp_fn=f,
+                                          stable_swaps=False)
+            outcomes[name] = bool(probe_spec(spec))
+        except Exception as e:
+            outcomes[name] = f"trace-error: {type(e).__name__}"
+    print("no-swaps probe outcomes:", outcomes)
+    # the swapped path must still work regardless
+    for name, f in matrix.items():
+        spec = make_pallas_model_spec(ndim=n, logp_fn=f)
+        assert probe_spec(spec), f"{name} failed WITH swaps"
