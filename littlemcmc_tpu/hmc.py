@@ -316,7 +316,7 @@ def build_fused_hmc_runner_factory(
         op = build_fused_hmc_op(
             trajectory_spec, model_ndim, chunk, bool(tuning),
             adapt_metric, config, window_multiplier,
-            interpret=interpret, pack=pack,
+            interpret=interpret, pack=pack, collect_trace=bool(collect),
         )
 
         def call_op(states: ChainState, seed):
@@ -344,14 +344,20 @@ def build_fused_hmc_runner_factory(
                                          jnp.int32(0)])
                 return call_op(states, seed)
 
+            # per-draw streams are (T, C, ...): chain-sharded on axis 1
+            # (keyed by name; see the NUTS factory for why not shapes)
+            _PER_DRAW = frozenset({"trace", "step_size", "step_size_bar", "n_steps", "accept", "diverging", "energy_error", "energy", "path_length", "accepted", "model_logp"})
+
             def sharded_call(states, seed):
+                from jax.tree_util import tree_map_with_path
+
                 in_specs = (jax.tree.map(lambda _: Pc, states,
                                          is_leaf=lambda x: x is None), Pr)
                 out_shapes = jax.eval_shape(call_op, states, seed)
-                out_specs = jax.tree.map(
-                    lambda sh: (PartitionSpec(None, chain_axis)
-                                if len(sh.shape) >= 2 and sh.shape[0] == chunk
-                                else Pc),
+                out_specs = tree_map_with_path(
+                    lambda path, sh: (PartitionSpec(None, chain_axis)
+                                      if str(path[0].key) in _PER_DRAW
+                                      else Pc),
                     out_shapes,
                 )
                 return shard_map(

@@ -932,7 +932,7 @@ def build_fused_nuts_runner_factory(
         op = build_fused_nuts_op(
             trajectory_spec, model_ndim, chunk, bool(tuning),
             adapt_metric, config, window_multiplier,
-            interpret=interpret, pack=pack,
+            interpret=interpret, pack=pack, collect_trace=bool(collect),
         )
 
         def call_op(states: ChainState, seed):
@@ -960,29 +960,27 @@ def build_fused_nuts_runner_factory(
                                          jnp.int32(0)])
                 return call_op(states, seed)
 
-            def specs_like(tree, spec):
-                return jax.tree.map(lambda _: spec, tree,
-                                    is_leaf=lambda x: x is None)
+            # per-draw streams are (T, C, ...): chain-sharded on axis 1;
+            # everything else is chain-batched state, sharded on axis 0.
+            # Keyed by NAME (a shape[0] == chunk heuristic mis-shards when
+            # the chunk length coincides with another dimension).
+            _PER_DRAW = frozenset({"trace", "energy", "model_logp", "depth", "n_leaves", "diverging", "turning", "max_energy_change", "energy_error", "mean_tree_accept", "step_size", "step_size_bar"})
 
             def sharded_call(states, seed):
-                in_specs = (specs_like(states, Pc), Pr)
-                # outputs: trace/stats are (T, C, ...) -> sharded on axis 1
-                out_spec_fn = None  # built lazily below
+                from jax.tree_util import tree_map_with_path
 
-                def f(s, sd):
-                    return call_local(s, sd)
-
-                # evaluate shapes once to build out specs
+                in_specs = (jax.tree.map(lambda _: Pc, states,
+                                         is_leaf=lambda x: x is None), Pr)
                 out_shapes = jax.eval_shape(call_op, states, seed)
-                out_specs = jax.tree.map(
-                    lambda sh: (PartitionSpec(None, chain_axis)
-                                if len(sh.shape) >= 2 and sh.shape[0] == chunk
-                                else Pc),
+                out_specs = tree_map_with_path(
+                    lambda path, sh: (PartitionSpec(None, chain_axis)
+                                      if str(path[0].key) in _PER_DRAW
+                                      else Pc),
                     out_shapes,
                 )
                 return shard_map(
-                    f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                    check_vma=False,
+                    call_local, mesh=mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_vma=False,
                 )(states, seed)
 
             runner_call = sharded_call

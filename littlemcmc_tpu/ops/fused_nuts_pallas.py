@@ -185,6 +185,7 @@ def build_fused_nuts_op(
     vmem_limit_bytes: int = 64 * 1024 * 1024,
     prng: Optional[str] = None,
     pack: int = 1,
+    collect_trace: bool = True,
 ):
     """Build the fused runner ``fused(args...) -> dict`` for one phase.
 
@@ -456,7 +457,14 @@ def build_fused_nuts_op(
                               memory_space=pltpu.VMEM)
         sin_spec = pl.BlockSpec((RW, _N_SC_IN * K), lambda i, t: (i, 0),
                                 memory_space=pltpu.VMEM)
-        tr_spec = pl.BlockSpec((1, RW, Npad), lambda i, t: (t, i, 0),
+        # collect_trace=False (tune phase with discard_tuned_samples):
+        # every draw writes the same (0, i) block, which stays VMEM-local
+        # until the block index changes — one HBM flush per chain block
+        # instead of one per draw.
+        T_out = T if collect_trace else 1
+        tr_idx = ((lambda i, t: (t, i, 0)) if collect_trace
+                  else (lambda i, t: (0, i, 0)))
+        tr_spec = pl.BlockSpec((1, RW, Npad), tr_idx,
                                memory_space=pltpu.VMEM)
         st_spec = pl.BlockSpec((1, RW, _N_OUT * K), lambda i, t: (t, i, 0),
                                memory_space=pltpu.VMEM)
@@ -476,7 +484,7 @@ def build_fused_nuts_op(
         in_specs += const_specs
 
         out_shapes = [
-            jax.ShapeDtypeStruct((T, RT, Npad), f32),          # trace
+            jax.ShapeDtypeStruct((T_out, RT, Npad), f32),      # trace
             jax.ShapeDtypeStruct((T, RT, _N_OUT * K), f32),    # stats
             jax.ShapeDtypeStruct((RT, Npad), f32),             # final q
             jax.ShapeDtypeStruct((RT, Npad), f32),             # final grad
@@ -523,7 +531,8 @@ def build_fused_nuts_op(
             return stp[:, :, c * K:(c + 1) * K].reshape(T, C)
 
         res = dict(
-            trace=tr.reshape(T, C, SEG)[:, :, :n],
+            trace=(tr.reshape(T, C, SEG)[:, :, :n] if collect_trace
+                   else None),
             q=unrow(qf),
             grad=unrow(gf),
             logp=sc(soutf, _A_LP),

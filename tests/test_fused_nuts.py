@@ -271,3 +271,25 @@ def test_fused_hmc_e2e_posterior():
     assert np.all(np.abs(tr.var(0) - 1.0) < 0.15), tr.var(0)
     assert 0.5 < np.asarray(st["accept"]).mean() <= 1.0
     assert set(st) == set(lmc.HamiltonianMC.stats_dtypes[0])
+
+
+def test_fused_static_diag_metric_e2e():
+    """The adapt_metric=False fused branch: a fixed QuadPotentialDiag.
+
+    Exercises the no-Welford input/output layout (separate ref plumbing
+    in both fused kernels) and asserts the metric is untouched.
+    """
+    model = models.StandardNormal(3)
+    pot = lmc.QuadPotentialDiag.create(jnp.asarray([1.0, 1.0, 1.0]))
+    step = lmc.NUTS(model_ndim=3, potential=pot,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    tr, st, fs = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=3,
+                            draws=400, tune=200, chains=16, random_seed=3,
+                            step=step, progressbar=False,
+                            return_final_state=True)
+    tr = np.asarray(tr).reshape(-1, 3)
+    assert abs(tr.mean()) < 0.08
+    assert np.all(np.abs(tr.var(0) - 1.0) < 0.15), tr.var(0)
+    np.testing.assert_array_equal(np.asarray(fs.potential.v)[0],
+                                  np.asarray(pot.v))
