@@ -67,42 +67,78 @@ def main():
     init_fn = _make_init_fn(step.config, logp_grad, NDIM, False, jnp.float32, False)
     states0 = init_fn(chain_keys, starts)
 
-    kernel = step.build_kernel(logp_grad)
-
     # Chunked execution: long single XLA executions are killed by the
     # remote-TPU transport, and chunking also matches production use
     # (progress + checkpoints). One tune chunk + one draw chunk compile.
-    from littlemcmc_tpu.sampling import _make_chunk_runner
+    from littlemcmc_tpu.sampling import (_make_adaptive_potential,
+                                         _make_chunk_runner)
 
     CHUNK = 250
     assert TUNE % CHUNK == 0 and DRAWS % CHUNK == 0
-    tune_chunk = _make_chunk_runner(kernel, CHUNK, True, False, False)
-    draw_chunk = _make_chunk_runner(kernel, CHUNK, False, True, False)
 
-    # Warm-up: compile both chunk programs.
-    t0 = time.perf_counter()
-    s, _, _ = tune_chunk(states0)
-    s2, out, _ = draw_chunk(s)
-    jax.block_until_ready(out)
-    warm = time.perf_counter() - t0
+    def run_engine(tune_chunk, draw_chunk):
+        """Warm-up + timed run; returns (wall times, draws, stats)."""
+        t0 = time.perf_counter()
+        s, _, _ = tune_chunk(states0)
+        s2, out, _ = draw_chunk(s)
+        jax.block_until_ready(out)
+        warm = time.perf_counter() - t0
 
-    # Timed full run from the initial state (deterministic). Tune and
-    # draw phases timed separately (the roofline numbers below need the
-    # draw-phase wall time matched to the collected tree-size stats).
-    t0 = time.perf_counter()
-    s = states0
-    for _ in range(TUNE // CHUNK):
-        s, _, _ = tune_chunk(s)
-    jax.block_until_ready(s)
-    tune_seconds = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    outs = []
-    for _ in range(DRAWS // CHUNK):
-        s, out, _ = draw_chunk(s)
-        outs.append(out)
-    jax.block_until_ready(s)
-    draw_seconds = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s = states0
+        for _ in range(TUNE // CHUNK):
+            s, _, _ = tune_chunk(s)
+        jax.block_until_ready(s)
+        tune_seconds = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(DRAWS // CHUNK):
+            s, out, _ = draw_chunk(s)
+            outs.append(out)
+        jax.block_until_ready(s)
+        draw_seconds = time.perf_counter() - t0
+        return warm, tune_seconds, draw_seconds, outs
+
+    # Engine A: per-draw trajectory kernel in a lax.scan.
+    kernel = step.build_kernel(logp_grad)
+    engines = {
+        "per_draw": (
+            _make_chunk_runner(kernel, CHUNK, True, False, False),
+            _make_chunk_runner(kernel, CHUNK, False, True, False),
+        )
+    }
+    # Engine B: fused multi-draw kernel (CHUNK transitions/pallas_call,
+    # on-core momentum/dual-averaging/Welford) — round-3's launch+epilogue
+    # eliminator. The faster engine wins the headline.
+    try:
+        from littlemcmc_tpu.nuts import build_fused_nuts_runner_factory
+
+        pot_template = _make_adaptive_potential(
+            NDIM, jnp.zeros(NDIM), False, jnp.float32)
+        fused_factory = build_fused_nuts_runner_factory(
+            step.config, model.pallas_trajectory_spec(), pot_template,
+            NDIM, CHAINS)
+        engines["fused"] = (fused_factory(CHUNK, True, False),
+                            fused_factory(CHUNK, False, True))
+    except Exception as e:  # pragma: no cover - fused path unavailable
+        print(f"# fused engine unavailable: {e}", flush=True)
+
+    results_by_engine = {}
+    for name, (tc, dc) in engines.items():
+        try:
+            warm_e, tune_s, draw_s, outs_e = run_engine(tc, dc)
+        except Exception as e:
+            print(f"# engine {name} failed: {type(e).__name__}: {e}",
+                  flush=True)
+            continue
+        results_by_engine[name] = (warm_e, tune_s, draw_s, outs_e)
+
+    best = min(results_by_engine, key=lambda k: (results_by_engine[k][1]
+                                                 + results_by_engine[k][2]))
+    warm, tune_seconds, draw_seconds, outs = results_by_engine[best]
     sample_seconds = tune_seconds + draw_seconds
+    engine_walls = {k: round(v[1] + v[2], 2)
+                    for k, v in results_by_engine.items()}
 
     qs = np.concatenate([np.asarray(jax.device_get(o[0])) for o in outs], axis=0)
     trace = qs.transpose(1, 0, 2)  # (chains, draws, ndim)
@@ -160,6 +196,8 @@ def main():
         "vs_baseline": round(ess_per_sec / baseline, 2),
         "extra": {
             "sample_seconds": round(sample_seconds, 2),
+            "engine": best,
+            "engine_walls_seconds": engine_walls,
             "roofline": roofline,
             "compile_plus_first_run_seconds": round(warm, 2),
             "transitions_per_sec": round(transitions_per_sec, 1),
