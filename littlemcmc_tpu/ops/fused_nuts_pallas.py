@@ -86,14 +86,24 @@ _TWO_PI = 6.283185307179586
 
 
 def _log1mexp(x):
-    """``log(1 - exp(-x))`` for x > 0 (same two-branch form as math.py)."""
+    """``log(1 - exp(-x))`` for x > 0, Mosaic-lowerable.
+
+    Same two-branch scheme as math.py, but Mosaic has no ``expm1``
+    lowering: the small branch uses ``exp(x) - 1`` guarded by a series
+    for tiny ``x`` (``log(-expm1(-x)) ≈ log(x) - x/2`` with O(x²)
+    error), keeping f32 accuracy through the cancellation region.
+    """
     safe_small = jnp.where(x < 0.683, x, 1.0)
     safe_large = jnp.where(x < 0.683, 1.0, x)
-    return jnp.where(
-        x < 0.683,
-        jnp.log(-jnp.expm1(-safe_small)),
-        jnp.log1p(-jnp.exp(-safe_large)),
+    safe_tiny = jnp.maximum(safe_small, 1e-30)  # log(0) guard
+    small = jnp.where(
+        x < 1e-4,
+        jnp.log(safe_tiny) - 0.5 * safe_small,
+        jnp.log(jnp.maximum(1.0 - jnp.exp(-safe_small), 1e-30)),
     )
+    # plain log(1 - e^{-x}) on the large branch: e^{-x} <= 0.5 there, no
+    # cancellation (and no dependence on a Mosaic log1p lowering)
+    return jnp.where(x < 0.683, small, jnp.log(1.0 - jnp.exp(-safe_large)))
 
 
 def _boxmuller_momentum(lanes, uniform, V):
