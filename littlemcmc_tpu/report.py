@@ -38,18 +38,73 @@ class WarningType(enum.Enum):
     BAD_ENERGY = 8
 
 
-def _beta_interval_95(n_good: float, n_bad: float):
-    """Central 95% interval of Beta(n_good+1, n_bad+1) without scipy.
+def _betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta ``I_x(a, b)`` without scipy.
 
-    Uses a normal approximation to the Beta quantiles, adequate for the
-    heuristic acceptance-rate check (reference ``step_sizes.py:106-110``
-    uses exact scipy quantiles; the decision boundary differs negligibly).
+    Standard modified-Lentz continued-fraction evaluation with the
+    symmetry flip at ``x > (a+1)/(a+b+2)`` for convergence. Scalar,
+    host-side; used only by the post-hoc acceptance-rate warning.
+    """
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _betainc(b, a, 1.0 - x)
+    import math
+
+    ln_front = (
+        a * math.log(x)
+        + b * math.log1p(-x)
+        - math.log(a)
+        - (math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b))
+    )
+    tiny = 1e-30
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    d = 1.0 / (d if abs(d) > tiny else tiny)
+    h = d
+    for m in range(1, 200):
+        m2 = 2.0 * m
+        # even term: +m (b-m) x / ((a+2m-1)(a+2m))
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = 1.0 / (d if abs(d) > tiny else tiny)
+        c = 1.0 + aa / (c if abs(c) > tiny else tiny)
+        h *= d * c
+        # odd term: -(a+m)(a+b+m) x / ((a+2m)(a+2m+1))
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = 1.0 / (d if abs(d) > tiny else tiny)
+        c = 1.0 + aa / (c if abs(c) > tiny else tiny)
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return math.exp(ln_front) * h
+
+
+def _beta_ppf(q: float, a: float, b: float) -> float:
+    """Quantile of Beta(a, b) by bisection on :func:`_betainc`."""
+    lo, hi = 0.0, 1.0
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if _betainc(a, b, mid) < q:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def _beta_interval_95(n_good: float, n_bad: float):
+    """Central 95% interval of Beta(n_good+1, n_bad+1), exact, scipy-free.
+
+    Matches the reference's ``st.beta(n_good+1, n_bad+1).interval(0.95)``
+    (``step_sizes.py:106-110``) via an in-tree incomplete-beta inversion.
     """
     a, b = n_good + 1.0, n_bad + 1.0
-    mean = a / (a + b)
-    var = a * b / ((a + b) ** 2 * (a + b + 1.0))
-    half = 1.959964 * np.sqrt(var)
-    return max(0.0, mean - half), min(1.0, mean + half)
+    return _beta_ppf(0.025, a, b), _beta_ppf(0.975, a, b)
 
 
 def warnings_from_stats(

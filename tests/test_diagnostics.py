@@ -75,3 +75,31 @@ def test_warnings_from_stats_excludes_tuning_columns():
 
     warns_no_tune = warnings_from_stats(stats)
     assert any(w.kind == WarningType.DIVERGENCES for w in warns_no_tune)
+
+def test_exact_beta_interval():
+    """_betainc matches jax.scipy.special.betainc; ppf round-trips.
+
+    The acceptance warning interval is the reference's exact
+    ``st.beta(...).interval(0.95)`` (``step_sizes.py:106-110``), not a
+    normal approximation.
+    """
+    import jax
+    import numpy as np
+    from jax.scipy.special import betainc as jbetainc
+    from littlemcmc_tpu.report import _beta_interval_95, _beta_ppf, _betainc
+
+    rng = np.random.default_rng(7)
+    with jax.enable_x64():
+        for _ in range(200):
+            a = float(rng.uniform(0.2, 150.0))
+            b = float(rng.uniform(0.2, 150.0))
+            x = float(rng.uniform(0.0, 1.0))
+            want = float(jbetainc(a, b, x))
+            assert abs(_betainc(a, b, x) - want) < 1e-10
+        for q in (0.025, 0.5, 0.975):
+            for a, b in ((81.0, 21.0), (2.5, 3.5), (1.0, 1.0)):
+                p = _beta_ppf(q, a, b)
+                assert abs(float(jbetainc(a, b, p)) - q) < 1e-9
+    # Beta(1,1) is uniform: exact central interval
+    lo, hi = _beta_interval_95(0.0, 0.0)
+    np.testing.assert_allclose([lo, hi], [0.025, 0.975], atol=1e-9)
