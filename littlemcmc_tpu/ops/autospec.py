@@ -42,11 +42,22 @@ How it works:
    ``#tpu.dot_dimension_numbers`` attribute fails to parse — rewritten
    to a rank-2 NN matmul plus reshape).
 
+5. Group-indexed models — the hierarchical random-intercept shape that
+   dominates real Bayesian workloads (``theta[groups]`` gathers,
+   ``segment_sum`` scatter-adds) — are rewritten into one-hot indicator
+   **matmuls** (``operand @ onehot.T`` / ``updates @ onehot``): Mosaic
+   has no gather/scatter lowering for dynamic lane indexing, but an
+   indicator contraction is exactly what the MXU is for. The indicator
+   is built on-core from ``broadcasted_iota`` + compare, and the dots
+   run at ``Precision.HIGHEST`` so the rewrite is bit-faithful for
+   in-bounds indices (one-hot products are exact in the bf16x3+
+   decomposition).
+
 Not every model lowers (e.g. host callbacks via
-:func:`littlemcmc_tpu.model.from_numpy_callable` or
-gather/scatter-heavy code). That is what the probe is for: lowering is
-attempted against the real backend on a tiny block and any failure
-selects the XLA tree instead.
+:func:`littlemcmc_tpu.model.from_numpy_callable`, or gathers with
+batched/multi-axis index vectors beyond the forms below). That is what
+the probe is for: lowering is attempted against the real backend on a
+tiny block and any failure selects the XLA tree instead.
 """
 
 from __future__ import annotations
@@ -121,6 +132,85 @@ def _safe_dot_general(a, b, *, dimension_numbers, **params):
     return lax.dot_general(a, b, dimension_numbers=dimension_numbers, **params)
 
 
+def _onehot(idx, n: int, dtype):
+    """(m, n) indicator matrix from an (m,) or (m, 1) integer vector.
+
+    Built from ``broadcasted_iota`` + compare + ``where`` — all of which
+    Mosaic lowers — instead of any dynamic-index op. Out-of-bounds rows
+    are all-zero (callers only see in-bounds indices: the traced index
+    arrays are closure constants, and :func:`probe_spec` value-checks
+    the whole model against the XLA evaluation anyway).
+    """
+    import jax.lax as lax
+
+    idx2 = idx.reshape(idx.shape[0], 1).astype(jnp.int32)
+    iota = lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+    return jnp.where(iota == idx2, jnp.asarray(1, dtype), jnp.asarray(0, dtype))
+
+
+def _dot_exact(a, b):
+    import jax.lax as lax
+
+    # one-hot contractions must be exact: a bf16-truncated operand would
+    # corrupt the gathered values themselves, not just round a sum
+    return _safe_dot_general(
+        a, b, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST)
+
+
+def _rewrite_gather(operand, indices, params):
+    """Gathers-of-full-slices as one-hot matmuls; None if unsupported.
+
+    Covers every form ``jax.vmap`` produces for ``theta[groups]`` /
+    ``jnp.take(x, idx, axis=...)`` on rank<=2 operands with a single
+    static index vector — the hierarchical-model shapes. Output equals
+    ``jnp.take`` for in-bounds indices.
+    """
+    dn = params["dimension_numbers"]
+    ss = tuple(params["slice_sizes"])
+    if (dn.operand_batching_dims or dn.start_indices_batching_dims
+            or indices.ndim != 2 or indices.shape[1] != 1
+            or len(dn.start_index_map) != 1):
+        return None
+    axis = int(dn.start_index_map[0])
+    if tuple(dn.collapsed_slice_dims) != (axis,):
+        return None
+    # full slices on every non-indexed dim
+    if any(ss[d] != operand.shape[d] for d in range(operand.ndim) if d != axis) \
+            or ss[axis] != 1:
+        return None
+    oh = _onehot(indices, operand.shape[axis], operand.dtype)  # (m, n_axis)
+    off = tuple(dn.offset_dims)
+    if operand.ndim == 1:                       # v[idx] -> (m,)
+        return _dot_exact(oh, operand) if off == () else None
+    if operand.ndim == 2 and axis == 1 and off == (0,):
+        return _dot_exact(operand, oh.T)        # (B, n)[:, idx] -> (B, m)
+    if operand.ndim == 2 and axis == 0 and off == (1,):
+        return _dot_exact(oh, operand)          # (k, p)[idx, :] -> (m, p)
+    return None
+
+
+def _rewrite_scatter_add(operand, indices, updates, params):
+    """The matching scatter-adds (gather VJPs, ``segment_sum``)."""
+    dn = params["dimension_numbers"]
+    if (dn.operand_batching_dims or dn.scatter_indices_batching_dims
+            or indices.ndim != 2 or indices.shape[1] != 1
+            or len(dn.scatter_dims_to_operand_dims) != 1):
+        return None
+    axis = int(dn.scatter_dims_to_operand_dims[0])
+    if tuple(dn.inserted_window_dims) != (axis,):
+        return None
+    oh = _onehot(indices, operand.shape[axis], operand.dtype)  # (m, n_axis)
+    uwd = tuple(dn.update_window_dims)
+    if operand.ndim == 1 and uwd == ():         # segment_sum -> (n,)
+        return operand + _dot_exact(updates, oh)
+    if operand.ndim == 2 and axis == 1 and uwd == (0,):
+        return operand + _dot_exact(updates, oh)   # (B, m) -> (B, n)
+    if operand.ndim == 2 and axis == 0 and uwd == (1,):
+        return operand + _dot_exact(oh.T, updates)  # (m, p) -> (k, p)
+    return None
+
+
 def _replay(jaxpr, consts, *args):
     """Replay a jaxpr with Mosaic-friendly rewrites of known-bad eqns."""
     import jax.lax as lax
@@ -147,6 +237,15 @@ def _replay(jaxpr, consts, *args):
             outs = [ft > 0.5]
         elif name == "dot_general":
             outs = [_safe_dot_general(invals[0], invals[1], **eqn.params)]
+        elif name == "gather":
+            out = _rewrite_gather(invals[0], invals[1], eqn.params)
+            outs = [out] if out is not None else [
+                eqn.primitive.bind(*invals, **eqn.params)]
+        elif name == "scatter-add":
+            out = _rewrite_scatter_add(invals[0], invals[1], invals[2],
+                                       eqn.params)
+            outs = [out] if out is not None else [
+                eqn.primitive.bind(*invals, **eqn.params)]
         else:
             outs = eqn.primitive.bind(*invals, **eqn.params)
             if not eqn.primitive.multiple_results:
@@ -190,6 +289,15 @@ def mosaic_friendly_calls():
     reuse it. Serialized by a process-wide lock — the patches touch
     module globals, so an unserialized concurrent enter/exit could leave
     them permanently installed.
+
+    .. warning:: The swap is **process-wide** while active: an unrelated
+       JAX trace running concurrently in *another thread* during the
+       window silently sees the substituted functions (identical values,
+       different VJP graph). Spec building is fast (one ``make_jaxpr``),
+       but if you trace other models from other threads, serialize them
+       against spec building — or pass ``stable_swaps=False``, which
+       relies on ``_replay``'s jaxpr-level rewrites alone and touches no
+       globals.
     """
     patches = [
         (jax.nn, "log_sigmoid", _stable_log_sigmoid),

@@ -93,6 +93,85 @@ def test_replay_rewrites_preserve_values():
                                atol=1e-5)
 
 
+def test_replay_rewrites_gather_scatter_to_onehot_matmuls():
+    """Group-indexed models: ``theta[groups]`` gathers and
+    ``segment_sum`` scatter-adds are rewritten into one-hot indicator
+    matmuls (all three rank<=2 forms), value-preserving and with no
+    gather/scatter primitive left in the rewritten computation."""
+    J, N = 8, 64
+    rng = np.random.RandomState(0)
+    g = jnp.asarray(rng.randint(0, J, N))
+    y = jnp.asarray(rng.randn(N).astype(np.float32))
+    X = jnp.asarray(rng.randn(J, 3).astype(np.float32))
+
+    def logp(q):
+        mu, a, b = q[0], q[1:1 + J], q[1 + J:1 + J + 3]
+        pred = mu + a[g] + (X[g] @ b)          # (n,) gather + (k,p) row gather
+        per_group = jax.ops.segment_sum((y - pred) ** 2, g, num_segments=J)
+        return (-0.5 * jnp.sum((y - pred) ** 2) - 0.01 * jnp.sum(per_group)
+                - 0.5 * jnp.sum(a ** 2) - 0.5 * jnp.sum(b ** 2))
+
+    fn = jax.vmap(jax.value_and_grad(logp))
+    Q = jnp.asarray(np.random.RandomState(2).randn(8, 1 + J + 3), jnp.float32)
+    closed = jax.make_jaxpr(fn)(Q)
+    prims = {e.primitive.name for e in closed.jaxpr.eqns}
+    assert "gather" in prims and "scatter-add" in prims  # targets present
+
+    lp, grad = _replay(closed.jaxpr, closed.consts, Q)
+    lp_ref, grad_ref = fn(Q)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # nothing dynamic-indexed survives the rewrite, at any nesting depth
+    closed2 = jax.make_jaxpr(
+        lambda Q: _replay(closed.jaxpr, closed.consts, Q))(Q)
+
+    def all_prims(jx, acc):
+        for e in jx.eqns:
+            acc.add(e.primitive.name)
+            for key in ("jaxpr", "call_jaxpr"):
+                inner = e.params.get(key)
+                if inner is not None:
+                    all_prims(getattr(inner, "jaxpr", inner), acc)
+        return acc
+
+    seen = all_prims(closed2.jaxpr, set())
+    assert "gather" not in seen and "scatter-add" not in seen
+
+
+def test_hierarchical_gather_model_interpret_e2e():
+    """A group-indexed hierarchical model auto-lowers and samples
+    correctly through the interpret-mode Pallas trajectory kernel — the
+    one-hot rewrite end-to-end, not just replay parity."""
+    J = 4
+    rng = np.random.RandomState(3)
+    groups = jnp.asarray(rng.randint(0, J, 40))
+    truth = np.array([1.0, -1.0, 0.5, 0.0], np.float32)
+    yobs = jnp.asarray(rng.randn(40).astype(np.float32) * 0.5
+                       + truth[np.asarray(groups)])
+
+    def logp(q):
+        theta = q[1:]
+        resid = yobs - jnp.take(theta, groups)
+        per_group = jax.ops.segment_sum(resid ** 2, groups, num_segments=J)
+        return (-0.5 * jnp.sum(per_group)
+                - 0.5 * jnp.sum((theta - q[0]) ** 2) - 0.05 * q[0] ** 2)
+
+    spec = make_pallas_model_spec(ndim=1 + J, logp_fn=logp)
+    step = lmc.NUTS(model_ndim=1 + J, pallas_trajectory=spec,
+                    pallas_interpret=True)
+    trace, stats = lmc.sample(logp_fn=logp, model_ndim=1 + J, chains=8,
+                              tune=300, draws=500, random_seed=2, step=step,
+                              progressbar=False)
+    tr = np.asarray(trace).reshape(-1, 1 + J)
+    for g in range(J):
+        data_mean = float(yobs[np.asarray(groups) == g].mean())
+        assert abs(tr[:, 1 + g].mean() - data_mean) < 0.35
+    assert np.asarray(stats["diverging"]).mean() < 0.02
+
+
 def test_mosaic_friendly_substitutes_match_jax_nn():
     x = jnp.asarray([-30.0, -3.0, -0.5, 0.0, 0.5, 3.0, 30.0], jnp.float32)
     with mosaic_friendly_calls():
@@ -187,6 +266,7 @@ def test_probe_matrix_model_breadth():
     n = 3
     X = jnp.asarray(np.random.RandomState(0).randn(50, n), jnp.float32)
     y = jnp.asarray((np.random.RandomState(1).rand(50) > 0.5), jnp.float32)
+    _GROUPS50 = jnp.asarray(np.random.RandomState(2).randint(0, n, 50))
     matrix = {
         "gaussian_quadratic": lambda b: -0.5 * jnp.sum((X @ b) ** 2),
         "logistic": lambda b: jnp.sum(
@@ -204,6 +284,13 @@ def test_probe_matrix_model_breadth():
             (y - jax.nn.softplus(X @ b)) ** 2) - 0.5 * jnp.sum(b**2),
         "piecewise": lambda b: jnp.sum(
             jnp.where(X @ b > 0, -(X @ b) ** 2, X @ b)) * 0.1,
+        # group-indexed hierarchical shape: gather + segment_sum become
+        # one-hot indicator matmuls in _replay
+        "hierarchical_gather": lambda b: (
+            -0.5 * jnp.sum((y - jnp.take(b, _GROUPS50)) ** 2)
+            - 0.1 * jnp.sum(jax.ops.segment_sum(
+                (y - jnp.take(b, _GROUPS50)) ** 2, _GROUPS50, num_segments=n))
+            - 0.5 * jnp.sum(b ** 2)),
     }
     failures = []
     for name, f in matrix.items():
@@ -214,13 +301,13 @@ def test_probe_matrix_model_breadth():
 
 
 def test_gather_scatter_model_falls_back_cleanly(caplog):
-    """The documented gather/scatter failure class: a group-indexed
-    hierarchical model (``jnp.take`` + ``segment_sum``). Whether or not
-    Mosaic can lower it on the current backend, the contract is: the
-    auto path either produces a spec that passes the probe, or falls
-    back to the XLA tree with a log line — and ``sample()`` is
-    statistically correct either way (the reference's "bring your own
-    logp" contract, quickstart.rst:37-49).
+    """The auto-path contract on a group-indexed hierarchical model
+    (``jnp.take`` + ``segment_sum``): either the one-hot rewrite lowers
+    it and the probe passes (expected on TPU), or the auto path falls
+    back to the XLA tree with a log line (e.g. CPU, where ``probe_spec``
+    cannot compile Mosaic) — and ``sample()`` is statistically correct
+    either way (the reference's "bring your own logp" contract,
+    quickstart.rst:37-49).
     """
     import logging
 
