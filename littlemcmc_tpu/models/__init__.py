@@ -13,6 +13,7 @@ from .funnel import NealsFunnel, NonCenteredFunnel
 from .logistic import LogisticRegression, german_credit_synthetic
 from .eight_schools import EightSchools
 from .linear import LinearRegression
+from .hierarchical import HierarchicalRegression
 
 __all__ = [
     "StandardNormal",
@@ -23,4 +24,5 @@ __all__ = [
     "german_credit_synthetic",
     "EightSchools",
     "LinearRegression",
+    "HierarchicalRegression",
 ]

@@ -177,6 +177,14 @@ def main():
         # transitions and a biased posterior; 0.95 brings it under 2%.
         target_accept=0.95,
     )
+    results["hierarchical_regression"] = run_config(
+        "Group-indexed hierarchical regression, 42-d (auto-lowered gather)",
+        models.HierarchicalRegression(),
+        chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
+        target_accept=0.9,
+        annotations={"note": "jnp.take group gather auto-lowered to one-hot "
+                     "MXU matmuls inside the trajectory kernel"},
+    )
     results["eight_schools_hmc"] = run_config(
         "Eight schools, classic HMC via the Pallas HMC kernel (C19)",
         models.EightSchools(),

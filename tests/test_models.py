@@ -124,3 +124,43 @@ def test_non_centered_funnel_transform_and_sampling():
     v = fx[..., 0]
     assert abs(v.std() - 3.0) < 0.5
     assert fx[..., 1:].std() > 2.0  # much wider than the tilde space
+
+
+def test_hierarchical_regression_lowers_and_recovers():
+    """Group-indexed hierarchical regression (models/hierarchical.py): the
+    zoo's gather/scatter showcase. The spec must auto-lower (no gather or
+    scatter-add primitives survive the one-hot rewrite) and the XLA path
+    must recover the fixed effects."""
+    model = models.HierarchicalRegression(n_groups=8, n_rows=256,
+                                          n_features=4, seed=3)
+    # 1) auto-lowering succeeds and eliminates gather/scatter
+    spec = model.pallas_trajectory_spec()
+    assert spec is not None
+    npad = ((model.ndim + 127) // 128) * 128
+    jx = jax.make_jaxpr(lambda q: spec.fn(q, *spec.consts))(
+        jnp.zeros((8, npad), model.dtype))
+
+    def all_prims(j, acc):
+        for e in j.eqns:
+            acc.add(e.primitive.name)
+            for key in ("jaxpr", "call_jaxpr"):
+                inner = e.params.get(key)
+                if inner is not None:
+                    all_prims(getattr(inner, "jaxpr", inner), acc)
+        return acc
+
+    seen = all_prims(jx.jaxpr, set())
+    assert "gather" not in seen and "scatter-add" not in seen
+
+    # 2) posterior recovery of the fixed effects on the plain XLA path
+    trace, stats = lmc.sample(
+        logp_dlogp_func=model.logp_grad, model_ndim=model.ndim,
+        chains=8, tune=400, draws=600, random_seed=5, progressbar=False,
+        target_accept=0.9,
+    )
+    tr = np.asarray(trace).reshape(-1, model.ndim)
+    b_hat = tr[:, 2:2 + model.n_features].mean(axis=0)
+    np.testing.assert_allclose(b_hat, model.true_b, atol=0.12)
+    mu_hat = tr[:, 0].mean()
+    assert abs(mu_hat - model.true_mu) < 0.5  # partial pooling: wide tol
+    assert np.asarray(stats["diverging"]).mean() < 0.02
