@@ -727,6 +727,7 @@ def sample(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: Optional[int] = None,
     resume: bool = False,
+    fuse_draws: Optional[bool] = None,
     **kwargs,
 ):
     """Draw posterior samples with NUTS (default) or HMC, fully on device.
@@ -762,6 +763,14 @@ def sample(
       round trip per draw — fine for debugging, not for throughput).
     - models must be JAX-traceable; wrap host callables with
       :func:`littlemcmc_tpu.model.from_numpy_callable`.
+    - ``fuse_draws``: ``None`` (default) auto-selects the fused
+      multi-draw Pallas kernel (T transitions per ``pallas_call`` with
+      on-core momentum refresh, dual averaging, and Welford adaptation)
+      whenever it applies; ``False`` forces the per-draw path (useful
+      for A/B benchmarking and for bitwise chunk-invariant streams —
+      the fused engine's draws depend on chunk boundaries, the per-draw
+      engine's do not); ``True`` requires the fused engine and raises
+      if the configuration cannot use it.
 
     Returns ``(trace, stats)``: ``trace`` has shape ``(chains, draws,
     model_ndim)``; ``stats`` maps stat names to ``(chains, draws)`` arrays
@@ -1009,7 +1018,8 @@ def sample(
     if isinstance(effective_spec, str):
         effective_spec = None
     fused_factory = None
-    if (effective_spec is not None
+    if (fuse_draws is not False
+            and effective_spec is not None
             and isinstance(step, (NUTS, HamiltonianMC))
             and step.config.step_rand is None
             and not cross_chain_adapt and model_axis is None):
@@ -1041,6 +1051,14 @@ def sample(
             except ValueError as e:
                 _log.info("Fused %s kernel unavailable (%s); using the "
                           "per-draw path.", step.name, e)
+    if fuse_draws is True and fused_factory is None:
+        raise ValueError(
+            "fuse_draws=True but the fused multi-draw kernel is unavailable "
+            "for this configuration: it requires a Pallas trajectory spec, a "
+            "NUTS/HamiltonianMC step with no step_rand hook, a diagonal "
+            "metric, no cross_chain_adapt, no model_axis, and a lane-packable "
+            "chain count."
+        )
 
     # --- The compiled sampling program -----------------------------------
     # The pallas trajectory op (if any) must be shard_map-wrapped over a

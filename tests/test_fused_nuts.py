@@ -293,3 +293,29 @@ def test_fused_static_diag_metric_e2e():
     assert np.all(np.abs(tr.var(0) - 1.0) < 0.15), tr.var(0)
     np.testing.assert_array_equal(np.asarray(fs.potential.v)[0],
                                   np.asarray(pot.v))
+
+
+def test_fuse_draws_knob():
+    """``sample(fuse_draws=...)``: False forces the per-draw engine, True
+    raises when the fused engine cannot apply, None auto-selects."""
+    model = models.StandardNormal(4)
+    step = lmc.NUTS(model_ndim=4,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    common = dict(logp_dlogp_func=model.logp_grad, model_ndim=4, draws=200,
+                  tune=150, chains=16, random_seed=21, step=step,
+                  progressbar=False)
+    tr_auto, _ = lmc.sample(**common)                      # fused (auto)
+    tr_pd, st_pd = lmc.sample(fuse_draws=False, **common)  # forced per-draw
+    # the engines use different draw streams: identical results would mean
+    # the knob did not actually switch paths
+    assert not np.allclose(np.asarray(tr_auto), np.asarray(tr_pd))
+    tr = np.asarray(tr_pd).reshape(-1, 4)
+    assert abs(tr.mean()) < 0.1 and np.all(np.abs(tr.var(0) - 1.0) < 0.25)
+
+    # per-draw streams are chunk-invariant; asking for the fused engine
+    # with no Pallas spec in play must raise, not silently fall back
+    with pytest.raises(ValueError, match="fuse_draws=True"):
+        lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4, draws=10,
+                   tune=10, chains=4, random_seed=0, progressbar=False,
+                   fuse_draws=True, pallas_trajectory=None)
