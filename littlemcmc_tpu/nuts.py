@@ -899,6 +899,7 @@ def build_fused_nuts_runner_factory(
     mesh=None,
     chain_axis: str = "chains",
     interpret: bool = False,
+    pooled: bool = False,
 ):
     """Chunk-runner factory for the fused multi-draw Pallas NUTS kernel.
 
@@ -912,39 +913,81 @@ def build_fused_nuts_runner_factory(
     throughput (measured 17x between raw kernel and e2e in round 2).
 
     ``potential_template`` is a single-chain instance of the metric used
-    only for static structure (adaptive vs static diagonal, window
-    multiplier).
+    only for static structure (adaptive vs static, diagonal vs dense,
+    window multiplier). Supported:
+
+    - diagonal (``QuadPotentialDiag`` / ``QuadPotentialDiagAdapt``,
+      non-pooled): every phase fused, adaptation on core;
+    - static dense (``QuadPotentialFull``): every phase fused — momentum
+      is one MXU matmul against ``L^{-1}``, velocities matmuls against
+      the shared covariance; dual averaging stays on core;
+    - pooled adaptive metrics (``pooled=True``, diag or dense
+      ``QuadPotentialFullAdapt``): the *draw* phase is fused with the
+      frozen post-tune metric; ``factory(..., tuning=True, ...)``
+      returns **None** — cross-chain pooling needs a per-draw psum over
+      the mesh, so the driver must run tune chunks on the per-draw path.
     """
-    from .quadpotential import QuadPotentialDiag, QuadPotentialDiagAdapt, WelfordVariance
+    from .quadpotential import (QuadPotentialDiag, QuadPotentialDiagAdapt,
+                                QuadPotentialFull, QuadPotentialFullAdapt,
+                                WelfordVariance)
     from .ops.fused_nuts_pallas import build_fused_nuts_op
     from .ops.nuts_trajectory_pallas import resolve_pack
     from .step_sizes import DualAverageState
 
-    adapt_metric = isinstance(potential_template, QuadPotentialDiagAdapt)
-    if not adapt_metric and not isinstance(potential_template, QuadPotentialDiag):
-        raise ValueError("the fused NUTS kernel requires a diagonal metric")
+    diag_adapt = isinstance(potential_template, QuadPotentialDiagAdapt)
+    diag_static = isinstance(potential_template, QuadPotentialDiag)
+    dense_static = isinstance(potential_template, QuadPotentialFull)
+    dense_pooled = pooled and isinstance(potential_template,
+                                         QuadPotentialFullAdapt)
+    if not (diag_adapt or diag_static or dense_static or dense_pooled):
+        raise ValueError(
+            "the fused NUTS kernel requires a diagonal metric, a static "
+            "dense metric (QuadPotentialFull), or a cross-chain pooled "
+            "adaptive metric")
+    dense = dense_static or dense_pooled
+    metric = "dense" if dense else "diag"
+    # on-core dual-window Welford: only per-chain diagonal adaptation
+    # (pooled adaptation reduces across ALL chains in the XLA epilogue)
+    adapt_metric = diag_adapt and not pooled
     window_multiplier = (potential_template.window_multiplier
                          if adapt_metric else 1.0)
-    pack = resolve_pack(trajectory_spec, model_ndim, local_chains)
+    pack = resolve_pack(trajectory_spec, model_ndim, local_chains) \
+        if not dense else 1
 
     @functools.lru_cache(maxsize=64)
     def factory(chunk: int, tuning: bool, collect: bool):
+        if tuning and pooled:
+            return None  # per-draw path: pooling psums run per draw
         op = build_fused_nuts_op(
             trajectory_spec, model_ndim, chunk, bool(tuning),
             adapt_metric, config, window_multiplier,
             interpret=interpret, pack=pack, collect_trace=bool(collect),
+            metric=metric,
         )
 
         def call_op(states: ChainState, seed):
             pot = states.potential
-            var = pot.var if adapt_metric else pot.v
+            linv = None
+            if dense:
+                # shared metric: row 0 is every chain's matrix (static, or
+                # pooled-overwritten each tuning step). L^{-1} turns the
+                # momentum draw into a matmul; one small triangular solve
+                # per chunk, nothing per draw.
+                var = pot.cov[0]
+                linv = jax.scipy.linalg.solve_triangular(
+                    pot.chol[0], jnp.eye(var.shape[0], dtype=var.dtype),
+                    lower=True)
+            elif diag_adapt:
+                var = pot.var
+            else:
+                var = pot.v
             welford = _fused_welford_tuple(pot) if adapt_metric else None
             return op(
                 states.q, states.q_grad, states.logp,
                 states.iter_count.astype(jnp.float32),
                 states.da.log_step, states.da.log_bar, states.da.hbar,
                 states.da.count.astype(jnp.float32), states.da.mu,
-                var, welford, seed,
+                var, welford, seed, linv=linv,
             )
 
         if mesh is not None:

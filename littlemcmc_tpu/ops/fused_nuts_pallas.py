@@ -106,18 +106,39 @@ def _log1mexp(x):
     return jnp.where(x < 0.683, small, jnp.log(1.0 - jnp.exp(-safe_large)))
 
 
-def _boxmuller_momentum(lanes, uniform, V):
-    """On-core momentum refresh: p ~ N(0, M) for the diagonal metric.
-
-    Box–Muller over two full-row uniforms; padding lanes zeroed (their
-    ``V`` entries are zero-padding, not variances).
-    """
+def _boxmuller_std(lanes, uniform):
+    """On-core standard-normal rows (Box–Muller); padding lanes zeroed."""
     RW, Npad = lanes.RW, lanes.Npad
     u1 = uniform((RW, Npad))
     u2 = uniform((RW, Npad))
     z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    return jnp.where(lanes.qmask, z, 0.0)
+
+
+def _boxmuller_momentum(lanes, uniform, V):
+    """On-core momentum refresh: p ~ N(0, M) for the diagonal metric.
+
+    Padding lanes zeroed (their ``V`` entries are zero-padding, not
+    variances).
+    """
+    z = _boxmuller_std(lanes, uniform)
     qmask = lanes.qmask
     return jnp.where(qmask, z / jnp.sqrt(jnp.where(qmask, V, 1.0)), 0.0)
+
+
+def _dense_momentum(lanes, uniform, linv):
+    """Momentum for a shared dense metric: ``P = Z @ L^{-1}``.
+
+    The XLA potential draws ``p = L^{-T} z`` per chain
+    (``QuadPotentialFull.sample_momentum``, reference
+    ``quadpotential.py:430-468``); in row convention that is one MXU
+    matmul against the precomputed triangular inverse. Exact f32: the
+    momentum must be drawn from the same density the kinetic energy
+    measures, so bf16 truncation is not acceptable here.
+    """
+    z = _boxmuller_std(lanes, uniform)
+    return jnp.dot(z, linv, precision="highest",
+                   preferred_element_type=jnp.float32)
 
 
 def _da_update_cols(sac, set_sa, mta, config):
@@ -196,6 +217,7 @@ def build_fused_nuts_op(
     prng: Optional[str] = None,
     pack: int = 1,
     collect_trace: bool = True,
+    metric: str = "diag",
 ):
     """Build the fused runner ``fused(args...) -> dict`` for one phase.
 
@@ -213,6 +235,19 @@ def build_fused_nuts_op(
     """
     if config.step_rand is not None:
         raise ValueError("the fused NUTS kernel does not support step_rand")
+    if metric not in ("diag", "dense"):
+        raise ValueError(f"unknown metric {metric!r}")
+    dense = metric == "dense"
+    if dense and adapt_metric:
+        # dense adaptation pools Welford moments across ALL chains with a
+        # per-draw cross-device psum the kernel cannot issue; the driver
+        # runs tune chunks on the per-draw path and fuses the (frozen-
+        # metric) draw phase instead.
+        raise ValueError("the fused NUTS kernel adapts diagonal metrics "
+                         "only; dense metrics must be frozen (draw phase "
+                         "or a static QuadPotentialFull)")
+    if dense and pack != 1:
+        raise ValueError("lane packing requires a diagonal metric")
     if prng is None:
         prng = "counter" if interpret else "tpu"
     coeffs = INTEGRATOR_COEFFS[config.integrator]
@@ -243,9 +278,13 @@ def build_fused_nuts_op(
     n_wrows = 4 if adapt_metric else 0  # fg/bg mean + raw-var rows
 
     def kernel(seed_ref, *rest):
+        linv0 = None
         if adapt_metric:
             q0, g0, sin, var0, fgm0, fgv0, bgm0, bgv0 = rest[:8]
             rest = rest[8:]
+        elif dense:
+            q0, g0, sin, var0, linv0 = rest[:5]  # var0 = shared cov
+            rest = rest[5:]
         else:
             q0, g0, sin, var0 = rest[:4]
             rest = rest[4:]
@@ -319,7 +358,7 @@ def build_fused_nuts_op(
         lanes = _Lanes(n, Npad, RW, K)
         model = lanes.make_model(model_fn, tuple(r[:] for r in consts_refs))
         V = var_s[:] if adapt_metric else var0[:]
-        velE, velC = lanes.make_velocities(V, "diag")
+        velE, velC = lanes.make_velocities(V, metric)
         if prng == "tpu":
             uniform = _uniform
         else:
@@ -349,7 +388,10 @@ def build_fused_nuts_op(
             mom_uniform = _make_counter_uniform(
                 lanes, si, seed0 + 1013904223, seed_ref[1])
             si[:, 0:_LANE] = jnp.zeros((RW, _LANE), jnp.int32)
-        p = _boxmuller_momentum(lanes, mom_uniform, V)
+        if dense:
+            p = _dense_momentum(lanes, mom_uniform, linv0[:])
+        else:
+            p = _boxmuller_momentum(lanes, mom_uniform, V)
 
         E0 = 0.5 * lanes.segsum(p * velE(p)) - lp
 
@@ -421,10 +463,14 @@ def build_fused_nuts_op(
                 bgvf[:] = bgv_s[:]
 
     def fused(q, grad, logp, iter_count, da_log_step, da_log_bar, da_hbar,
-              da_count, da_mu, var, welford, seed):
+              da_count, da_mu, var, welford, seed, linv=None):
         """Run T transitions. ``welford`` is None or the 10-tuple
         ``(fg_mean, fg_raw, fg_w, fg_w2, bg_mean, bg_raw, bg_w, bg_w2,
-        n_samples, window)``."""
+        n_samples, window)``. Dense metric: ``var`` is the shared
+        ``(n, n)`` covariance and ``linv`` its inverse lower Cholesky
+        factor ``L^{-1}`` (momentum transform)."""
+        if dense and linv is None:
+            raise ValueError("metric='dense' requires linv")
         C = q.shape[0]
         CB = min(chain_block * K, C)
         while CB >= 1 and (C % CB or CB % K):
@@ -484,9 +530,21 @@ def build_fused_nuts_op(
             for cc in consts
         ]
 
-        inputs = [pack_rows(q), pack_rows(grad), sin, pack_rows(var)]
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                    row_in, row_in, sin_spec, row_in]
+        if dense:
+            def pad_sq(m):
+                return jnp.pad(m.astype(f32),
+                               ((0, Npad - n), (0, Npad - n)))
+
+            sq_spec = pl.BlockSpec((Npad, Npad), lambda i, t: (0, 0),
+                                   memory_space=pltpu.VMEM)
+            inputs = [pack_rows(q), pack_rows(grad), sin, pad_sq(var),
+                      pad_sq(linv)]
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                        row_in, row_in, sin_spec, sq_spec, sq_spec]
+        else:
+            inputs = [pack_rows(q), pack_rows(grad), sin, pack_rows(var)]
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                        row_in, row_in, sin_spec, row_in]
         if welford is not None:
             inputs += [pack_rows(fgm), pack_rows(fgv), pack_rows(bgm),
                        pack_rows(bgv)]

@@ -36,6 +36,7 @@ from .nuts import build_nuts_kernel
 from .quadpotential import (
     QuadPotentialDiag,
     QuadPotentialDiagAdapt,
+    QuadPotentialFull,
     QuadPotentialFullAdapt,
     isquadpotential,
     quad_potential,
@@ -1022,7 +1023,7 @@ def sample(
             and effective_spec is not None
             and isinstance(step, (NUTS, HamiltonianMC))
             and step.config.step_rand is None
-            and not cross_chain_adapt and model_axis is None):
+            and model_axis is None):
         from .ops.nuts_trajectory_pallas import usable_chain_count
 
         n_chain_devs = 1
@@ -1031,22 +1032,36 @@ def sample(
                             if chain_axis in mesh.shape else mesh.size)
         local_chains = chains // n_chain_devs
         pot_template = step.potential
-        if pot_template is None and not full:
+        if pot_template is None:
             pot_template = _make_adaptive_potential(
-                model_ndim, jnp.zeros(model_ndim, dtype), False, dtype)
-        if (pot_template is not None
-                and isinstance(pot_template, (QuadPotentialDiag,
-                                              QuadPotentialDiagAdapt))
-                and usable_chain_count(local_chains, 256)):
+                model_ndim, jnp.zeros(model_ndim, dtype), full, dtype)
+        # Fusable metric shapes: per-chain diagonal (adaptation on core),
+        # static dense, or pooled adaptive metrics (draw phase only — the
+        # factory declines tune chunks and the per-draw path covers them).
+        diag_ok = (isinstance(pot_template, (QuadPotentialDiag,
+                                             QuadPotentialDiagAdapt))
+                   and (not cross_chain_adapt
+                        or isinstance(pot_template, QuadPotentialDiagAdapt)))
+        dense_ok = (isinstance(pot_template, QuadPotentialFull)
+                    or (bool(cross_chain_adapt)
+                        and isinstance(pot_template, QuadPotentialFullAdapt)))
+        if isinstance(step, HamiltonianMC):
+            dense_ok = False  # fused HMC kernel is diagonal-only
+            diag_ok = diag_ok and not cross_chain_adapt
+        if (diag_ok or dense_ok) and usable_chain_count(local_chains, 256):
             if isinstance(step, NUTS):
                 from .nuts import build_fused_nuts_runner_factory as _bff
+
+                bff_kwargs = {"pooled": bool(cross_chain_adapt)}
             else:
                 from .hmc import build_fused_hmc_runner_factory as _bff
+
+                bff_kwargs = {}
             try:
                 fused_factory = _bff(
                     step.config, effective_spec, pot_template, model_ndim,
                     local_chains, mesh=mesh, chain_axis=chain_axis,
-                    interpret=step.pallas_interpret,
+                    interpret=step.pallas_interpret, **bff_kwargs,
                 )
             except ValueError as e:
                 _log.info("Fused %s kernel unavailable (%s); using the "
@@ -1063,12 +1078,25 @@ def sample(
     # --- The compiled sampling program -----------------------------------
     # The pallas trajectory op (if any) must be shard_map-wrapped over a
     # multi-device mesh: GSPMD cannot auto-partition a pallas_call.
-    if fused_factory is None:
+    if fused_factory is None or cross_chain_adapt:
+        # The per-draw kernel: the only engine when no fused factory
+        # applies, and the tune-phase engine under pooled adaptation
+        # (the fused factory declines tune chunks — cross-chain pooling
+        # psums run per draw in this kernel's epilogue).
         kernel = step.build_kernel(logp_grad, mesh=mesh, chain_axis=chain_axis,
                                    pooled_metric=cross_chain_adapt,
                                    pallas_trajectory=resolved_pallas)
     else:
         kernel = None  # every chunk runs through the fused runner
+    if fused_factory is not None and kernel is not None:
+        base_factory = fused_factory
+
+        def fused_factory(chunk, tuning, collect):
+            runner = base_factory(chunk, tuning, collect)
+            if runner is None:
+                runner = _make_chunk_runner(kernel, chunk, tuning, collect,
+                                            cross_chain_adapt)
+            return runner
     collect_tune = not discard_tuned_samples
 
     if progressbar:

@@ -20,12 +20,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # Round-2 per-draw BENCH_SUITE.json transitions/s on the same configs
-# (the >=2x gate's denominators).
+# (the >=2x gate's denominators). corr_gaussian_100d_full_pooled is the
+# VERDICT #2 target (per-chain row 14.8k; pooled per-draw row 56.5k).
 R02 = {"std_normal_1d": 315263.1, "eight_schools_10k_chains": 555711.0,
-       "corr_gaussian_100d_diag": 59113.6}
+       "corr_gaussian_100d_diag": 59113.6,
+       "corr_gaussian_100d_full_pooled": 56489.2}
 
 
-def run(name, model, chains, tune, draws, target_accept, fuse):
+def run(name, model, chains, tune, draws, target_accept, fuse, **extra):
     import littlemcmc_tpu as lmc
 
     common = dict(
@@ -33,6 +35,7 @@ def run(name, model, chains, tune, draws, target_accept, fuse):
         chains=chains, random_seed=42, progressbar=False,
         progress_every=250, target_accept=target_accept,
         pallas_trajectory=model.pallas_trajectory_spec(), fuse_draws=fuse,
+        **extra,
     )
     lmc.sample(tune=250, draws=250, **common)  # warm the jit caches
     t0 = time.perf_counter()
@@ -52,18 +55,23 @@ def main():
     from littlemcmc_tpu import models
 
     configs = {
-        "std_normal_1d": (models.StandardNormal(1), 1024, 500, 1000, 0.8),
+        "std_normal_1d": (models.StandardNormal(1), 1024, 500, 1000, 0.8, {}),
         "corr_gaussian_100d_diag": (
-            models.CorrelatedGaussian(100), 1024, 500, 1000, 0.8),
+            models.CorrelatedGaussian(100), 1024, 500, 1000, 0.8, {}),
         "eight_schools_10k_chains": (
-            models.EightSchools(), 10240, 500, 500, 0.95),
+            models.EightSchools(), 10240, 500, 500, 0.95, {}),
+        # fused dense draw phase (tune stays per-draw w/ pooling psums)
+        "corr_gaussian_100d_full_pooled": (
+            models.CorrelatedGaussian(100), 256, 500, 1000, 0.8,
+            {"init": "jitter+adapt_full", "cross_chain_adapt": True}),
     }
     out = {"backend": jax.default_backend(), "results": {}}
-    for name, (model, chains, tune, draws, ta) in configs.items():
+    for name, (model, chains, tune, draws, ta, extra) in configs.items():
         row = {}
         for fuse in (False, None):
             label = "per_draw" if fuse is False else "fused_auto"
-            row[label] = run(name, model, chains, tune, draws, ta, fuse)
+            row[label] = run(name, model, chains, tune, draws, ta, fuse,
+                             **extra)
         ratio = (row["fused_auto"]["transitions_per_sec"]
                  / row["per_draw"]["transitions_per_sec"])
         row["fused_over_perdraw"] = round(ratio, 2)

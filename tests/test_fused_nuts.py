@@ -319,3 +319,72 @@ def test_fuse_draws_knob():
         lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4, draws=10,
                    tune=10, chains=4, random_seed=0, progressbar=False,
                    fuse_draws=True, pallas_trajectory=None)
+
+
+# ---------------------------------------------------------------------------
+# Fused dense-metric paths (metric="dense": static Full + pooled draw phase)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_static_dense_metric_e2e():
+    """sample() through the fused kernel with a static QuadPotentialFull:
+    momentum = Z @ L^{-1} (one matmul) and velocities = P @ cov on core,
+    dual averaging on core, both phases fused."""
+    from littlemcmc_tpu.quadpotential import QuadPotentialFull
+
+    model = models.CorrelatedGaussian(6, rho=0.7, scale_range=(0.5, 2.0))
+    pot = QuadPotentialFull.create(jnp.asarray(model.cov, jnp.float32))
+    step = lmc.NUTS(model_ndim=6, potential=pot,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=6,
+                        chains=16, tune=250, draws=500, random_seed=3,
+                        step=step, progressbar=False, fuse_draws=True)
+    tr2 = np.asarray(tr).reshape(-1, 6)
+    # exact metric => near-ideal sampling of the correlated target
+    assert np.abs(tr2.mean(0)).max() < 0.15
+    np.testing.assert_allclose(tr2.var(0), model.true_var, rtol=0.25)
+    assert np.asarray(st["diverging"]).mean() < 0.01
+    # the dense fused engine must actually differ from the per-draw one
+    tr_pd, _ = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=6,
+                          chains=16, tune=250, draws=500, random_seed=3,
+                          step=step, progressbar=False, fuse_draws=False)
+    assert not np.allclose(np.asarray(tr), np.asarray(tr_pd))
+
+
+def test_fused_pooled_dense_draw_phase_e2e():
+    """Pooled adapt_full: tune chunks run per-draw (cross-chain psums),
+    draw chunks run the fused dense kernel with the frozen pooled metric.
+    The adapted metric must still solve the correlated target."""
+    model = models.CorrelatedGaussian(5, rho=0.8, scale_range=(0.5, 2.0))
+    step = lmc.NUTS(model_ndim=5,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=5,
+                        chains=32, tune=400, draws=500, random_seed=9,
+                        step=step, progressbar=False,
+                        init="jitter+adapt_full", cross_chain_adapt=True,
+                        fuse_draws=True, progress_every=100)
+    tr2 = np.asarray(tr).reshape(-1, 5)
+    np.testing.assert_allclose(tr2.var(0), model.true_var, rtol=0.3)
+    assert np.abs(tr2.mean(0)).max() < 0.2
+    assert np.asarray(st["diverging"]).mean() < 0.02
+    # adapted dense metric => shallow trees on a correlated target
+    assert float(np.asarray(st["depth"])[:, -200:].mean()) <= 4.0
+
+
+def test_fused_pooled_diag_draw_phase_e2e():
+    """Pooled diagonal adaptation also gains the fused draw phase."""
+    model = models.StandardNormal(4)
+    step = lmc.NUTS(model_ndim=4,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4,
+                        chains=32, tune=300, draws=400, random_seed=17,
+                        step=step, progressbar=False,
+                        cross_chain_adapt=True, fuse_draws=True,
+                        progress_every=100)
+    tr2 = np.asarray(tr).reshape(-1, 4)
+    assert np.abs(tr2.mean(0)).max() < 0.1
+    assert np.all(np.abs(tr2.var(0) - 1.0) < 0.2)
+    assert np.asarray(st["diverging"]).mean() < 0.01
