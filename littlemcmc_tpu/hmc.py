@@ -290,45 +290,71 @@ def build_fused_hmc_runner_factory(
     mesh=None,
     chain_axis: str = "chains",
     interpret: bool = False,
+    pooled: bool = False,
 ):
     """Chunk-runner factory for the fused multi-draw Pallas HMC kernel.
 
     Same contract as :func:`littlemcmc_tpu.nuts.build_fused_nuts_runner_factory`
     (one ``pallas_call`` per chunk: on-core momentum refresh, jittered
     path length, dual averaging, Welford adaptation), with HMC's stats.
+    Metric support: diagonal (every phase, adaptation on core), static
+    dense ``QuadPotentialFull`` (every phase, momentum/velocity matmuls),
+    pooled *diagonal* adaptation (draw phase only; ``factory(...,
+    tuning=True, ...)`` returns None so the driver runs tune chunks on
+    the per-draw path with its pooling epilogue). Pooled dense is not
+    fusable for HMC — the per-draw Pallas HMC path is diagonal-only, so
+    there is no tune-phase engine to pair with.
     """
     from .nuts import _fused_welford_tuple, _split_each
     from .ops.fused_hmc_pallas import build_fused_hmc_op
     from .ops.nuts_trajectory_pallas import resolve_pack
     from .quadpotential import (QuadPotentialDiag, QuadPotentialDiagAdapt,
-                                WelfordVariance)
+                                QuadPotentialFull, WelfordVariance)
     from .step_sizes import DualAverageState
 
-    adapt_metric = isinstance(potential_template, QuadPotentialDiagAdapt)
-    if not adapt_metric and not isinstance(potential_template, QuadPotentialDiag):
-        raise ValueError("the fused HMC kernel requires a diagonal metric")
+    diag_adapt = isinstance(potential_template, QuadPotentialDiagAdapt)
+    diag_static = isinstance(potential_template, QuadPotentialDiag)
+    dense_static = isinstance(potential_template, QuadPotentialFull)
+    if not (diag_adapt or diag_static or dense_static):
+        raise ValueError("the fused HMC kernel requires a diagonal metric "
+                         "or a static dense metric (QuadPotentialFull)")
+    metric = "dense" if dense_static else "diag"
+    adapt_metric = diag_adapt and not pooled
     window_multiplier = (potential_template.window_multiplier
                          if adapt_metric else 1.0)
-    pack = resolve_pack(trajectory_spec, model_ndim, local_chains)
+    pack = resolve_pack(trajectory_spec, model_ndim, local_chains) \
+        if not dense_static else 1
 
     @functools.lru_cache(maxsize=64)
     def factory(chunk: int, tuning: bool, collect: bool):
+        if tuning and pooled:
+            return None  # per-draw path: pooling psums run per draw
         op = build_fused_hmc_op(
             trajectory_spec, model_ndim, chunk, bool(tuning),
             adapt_metric, config, window_multiplier,
             interpret=interpret, pack=pack, collect_trace=bool(collect),
+            metric=metric,
         )
 
         def call_op(states: ChainState, seed):
             pot = states.potential
-            var = pot.var if adapt_metric else pot.v
+            linv = None
+            if dense_static:
+                var = pot.cov[0]
+                linv = jax.scipy.linalg.solve_triangular(
+                    pot.chol[0], jnp.eye(var.shape[0], dtype=var.dtype),
+                    lower=True)
+            elif diag_adapt:
+                var = pot.var
+            else:
+                var = pot.v
             welford = _fused_welford_tuple(pot) if adapt_metric else None
             return op(
                 states.q, states.q_grad, states.logp,
                 states.iter_count.astype(jnp.float32),
                 states.da.log_step, states.da.log_bar, states.da.hbar,
                 states.da.count.astype(jnp.float32), states.da.mu,
-                var, welford, seed,
+                var, welford, seed, linv=linv,
             )
 
         if mesh is not None:

@@ -42,6 +42,7 @@ from .fused_nuts_pallas import (
     _N_SC_IN,
     _boxmuller_momentum,
     _da_update_cols,
+    _dense_momentum,
     _welford_update_rows,
 )
 from .hmc_trajectory_pallas import run_hmc_trajectory_values
@@ -78,15 +79,26 @@ def build_fused_hmc_op(
     prng: Optional[str] = None,
     pack: int = 1,
     collect_trace: bool = True,
+    metric: str = "diag",
 ):
     """Build the fused HMC runner for one phase (see module docstring).
 
-    Same contract as :func:`.fused_nuts_pallas.build_fused_nuts_op`,
-    with HMC's stat streams (step_size, n_steps, accept, path_length,
-    accepted, ...) in place of the tree stats.
+    Same contract as :func:`.fused_nuts_pallas.build_fused_nuts_op`
+    (including ``metric="dense"`` with the frozen shared covariance +
+    ``L^{-1}`` momentum transform), with HMC's stat streams (step_size,
+    n_steps, accept, path_length, accepted, ...) in place of the tree
+    stats.
     """
     if config.step_rand is not None:
         raise ValueError("the fused HMC kernel does not support step_rand")
+    if metric not in ("diag", "dense"):
+        raise ValueError(f"unknown metric {metric!r}")
+    dense = metric == "dense"
+    if dense and adapt_metric:
+        raise ValueError("the fused HMC kernel adapts diagonal metrics "
+                         "only; dense metrics must be frozen")
+    if dense and pack != 1:
+        raise ValueError("lane packing requires a diagonal metric")
     if prng is None:
         prng = "counter" if interpret else "tpu"
     coeffs = INTEGRATOR_COEFFS[config.integrator]
@@ -116,9 +128,13 @@ def build_fused_hmc_op(
     n_wrows = 5 if adapt_metric else 0  # var + fg/bg mean + raw-var rows
 
     def kernel(seed_ref, *rest):
+        linv0 = None
         if adapt_metric:
             q0, g0, sin, var0, fgm0, fgv0, bgm0, bgv0 = rest[:8]
             rest = rest[8:]
+        elif dense:
+            q0, g0, sin, var0, linv0 = rest[:5]  # var0 = shared cov
+            rest = rest[5:]
         else:
             q0, g0, sin, var0 = rest[:4]
             rest = rest[4:]
@@ -183,7 +199,7 @@ def build_fused_hmc_op(
         lanes = _Lanes(n, Npad, RW, K)
         model = lanes.make_model(model_fn, tuple(r[:] for r in consts_refs))
         V = var_s[:] if adapt_metric else var0[:]
-        velE, _ = lanes.make_velocities(V, "diag")
+        velE, _ = lanes.make_velocities(V, metric)
         if prng == "tpu":
             uniform = _uniform
         else:
@@ -194,7 +210,10 @@ def build_fused_hmc_op(
         g = g_s[:]
         lp = sac(_A_LP)
 
-        p = _boxmuller_momentum(lanes, uniform, V)
+        if dense:
+            p = _dense_momentum(lanes, uniform, linv0[:])
+        else:
+            p = _boxmuller_momentum(lanes, uniform, V)
 
         eps_v = jnp.exp(sac(_A_DLS)) if adapting else jnp.exp(sac(_A_DLB))
         # jittered path length + per-chain step count (hmc.py:141-143)
@@ -254,8 +273,10 @@ def build_fused_hmc_op(
                 bgvf[:] = bgv_s[:]
 
     def fused(q, grad, logp, iter_count, da_log_step, da_log_bar, da_hbar,
-              da_count, da_mu, var, welford, seed):
+              da_count, da_mu, var, welford, seed, linv=None):
         """Run T HMC transitions; same input contract as the NUTS fused op."""
+        if dense and linv is None:
+            raise ValueError("metric='dense' requires linv")
         C = q.shape[0]
         CB = min(chain_block * K, C)
         while CB >= 1 and (C % CB or CB % K):
@@ -315,9 +336,21 @@ def build_fused_hmc_op(
             for cc in consts
         ]
 
-        inputs = [pack_rows(q), pack_rows(grad), sin, pack_rows(var)]
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                    row_in, row_in, sin_spec, row_in]
+        if dense:
+            def pad_sq(m):
+                return jnp.pad(m.astype(f32),
+                               ((0, Npad - n), (0, Npad - n)))
+
+            sq_spec = pl.BlockSpec((Npad, Npad), lambda i, t: (0, 0),
+                                   memory_space=pltpu.VMEM)
+            inputs = [pack_rows(q), pack_rows(grad), sin, pad_sq(var),
+                      pad_sq(linv)]
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                        row_in, row_in, sin_spec, sq_spec, sq_spec]
+        else:
+            inputs = [pack_rows(q), pack_rows(grad), sin, pack_rows(var)]
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                        row_in, row_in, sin_spec, row_in]
         if welford is not None:
             inputs += [pack_rows(fgm), pack_rows(fgv), pack_rows(bgm),
                        pack_rows(bgv)]

@@ -1046,17 +1046,16 @@ def sample(
                     or (bool(cross_chain_adapt)
                         and isinstance(pot_template, QuadPotentialFullAdapt)))
         if isinstance(step, HamiltonianMC):
-            dense_ok = False  # fused HMC kernel is diagonal-only
-            diag_ok = diag_ok and not cross_chain_adapt
+            # pooled dense is NUTS-only: the per-draw Pallas HMC path is
+            # diagonal-only, so pooled-dense tune chunks would have no
+            # engine to fall back to
+            dense_ok = isinstance(pot_template, QuadPotentialFull)
         if (diag_ok or dense_ok) and usable_chain_count(local_chains, 256):
             if isinstance(step, NUTS):
                 from .nuts import build_fused_nuts_runner_factory as _bff
-
-                bff_kwargs = {"pooled": bool(cross_chain_adapt)}
             else:
                 from .hmc import build_fused_hmc_runner_factory as _bff
-
-                bff_kwargs = {}
+            bff_kwargs = {"pooled": bool(cross_chain_adapt)}
             try:
                 fused_factory = _bff(
                     step.config, effective_spec, pot_template, model_ndim,

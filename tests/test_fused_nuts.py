@@ -388,3 +388,36 @@ def test_fused_pooled_diag_draw_phase_e2e():
     assert np.abs(tr2.mean(0)).max() < 0.1
     assert np.all(np.abs(tr2.var(0) - 1.0) < 0.2)
     assert np.asarray(st["diverging"]).mean() < 0.01
+
+
+def test_fused_hmc_static_dense_metric_e2e():
+    """Classic HMC through the fused kernel with a static dense metric."""
+    from littlemcmc_tpu.quadpotential import QuadPotentialFull
+
+    model = models.CorrelatedGaussian(5, rho=0.7, scale_range=(0.5, 2.0))
+    pot = QuadPotentialFull.create(jnp.asarray(model.cov, jnp.float32))
+    step = lmc.HamiltonianMC(model_ndim=5, potential=pot, path_length=2.0,
+                             pallas_trajectory=model.pallas_trajectory_spec(),
+                             pallas_interpret=True)
+    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=5,
+                        chains=16, tune=250, draws=500, random_seed=5,
+                        step=step, progressbar=False, fuse_draws=True)
+    tr2 = np.asarray(tr).reshape(-1, 5)
+    np.testing.assert_allclose(tr2.var(0), model.true_var, rtol=0.3)
+    assert np.abs(tr2.mean(0)).max() < 0.2
+    assert np.asarray(st["diverging"]).mean() < 0.01
+
+
+def test_fused_hmc_pooled_diag_draw_phase_e2e():
+    """Pooled diagonal HMC: per-draw tune chunks, fused draw chunks."""
+    model = models.StandardNormal(4)
+    step = lmc.HamiltonianMC(model_ndim=4, path_length=2.0,
+                             pallas_trajectory=model.pallas_trajectory_spec(),
+                             pallas_interpret=True)
+    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4,
+                        chains=32, tune=300, draws=400, random_seed=23,
+                        step=step, progressbar=False, cross_chain_adapt=True,
+                        fuse_draws=True, progress_every=100)
+    tr2 = np.asarray(tr).reshape(-1, 4)
+    assert np.abs(tr2.mean(0)).max() < 0.1
+    assert np.all(np.abs(tr2.var(0) - 1.0) < 0.25)

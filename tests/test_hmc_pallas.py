@@ -94,7 +94,10 @@ def test_interpret_hmc_composes_with_mesh():
     assert 0.85 < tr.var() < 1.15
 
 
-def test_pallas_hmc_requires_diag_metric():
+def test_pallas_hmc_dense_metric_paths():
+    """The *per-draw* Pallas HMC engine is diagonal-only; a static dense
+    metric must raise there (fuse_draws=False) — but the fused engine
+    (round 3) runs it, so the default auto path now samples."""
     m = models.CorrelatedGaussian(8)
     pot = lmc.QuadPotentialFull.create(jnp.asarray(m.cov, jnp.float32))
     step = lmc.HamiltonianMC(model_ndim=8, potential=pot,
@@ -103,7 +106,11 @@ def test_pallas_hmc_requires_diag_metric():
     with pytest.raises(ValueError, match="diagonal metric"):
         lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=8, chains=8,
                    tune=4, draws=4, random_seed=0, step=step,
-                   progressbar=False)
+                   progressbar=False, fuse_draws=False)
+    tr, _ = lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=8, chains=8,
+                       tune=8, draws=8, random_seed=0, step=step,
+                       progressbar=False)  # auto: fused dense engine
+    assert np.asarray(tr).shape == (8, 8, 8)
 
 
 @requires_tpu
