@@ -297,13 +297,12 @@ def build_fused_hmc_runner_factory(
     Same contract as :func:`littlemcmc_tpu.nuts.build_fused_nuts_runner_factory`
     (one ``pallas_call`` per chunk: on-core momentum refresh, jittered
     path length, dual averaging, Welford adaptation), with HMC's stats.
-    Metric support: diagonal (every phase, adaptation on core), static
-    dense ``QuadPotentialFull`` (every phase, momentum/velocity matmuls),
-    pooled *diagonal* adaptation (draw phase only; ``factory(...,
-    tuning=True, ...)`` returns None so the driver runs tune chunks on
-    the per-draw path with its pooling epilogue). Pooled dense is not
-    fusable for HMC — the per-draw Pallas HMC path is diagonal-only, so
-    there is no tune-phase engine to pair with.
+    Metric support: diagonal — per-chain or pooled — every phase fused
+    (pooled diag runs the exact per-chain Welford updates on core and
+    pools the shared metric once per chunk boundary); static dense
+    ``QuadPotentialFull`` (every phase, momentum/velocity matmuls).
+    Pooled dense is not fusable for HMC — the per-draw Pallas HMC path
+    is diagonal-only, so there is no tune-phase engine to pair with.
     """
     from .nuts import _fused_welford_tuple, _split_each
     from .ops.fused_hmc_pallas import build_fused_hmc_op
@@ -319,7 +318,10 @@ def build_fused_hmc_runner_factory(
         raise ValueError("the fused HMC kernel requires a diagonal metric "
                          "or a static dense metric (QuadPotentialFull)")
     metric = "dense" if dense_static else "diag"
-    adapt_metric = diag_adapt and not pooled
+    # pooled diag keeps per-chain accumulators (parallel/cross_chain.py),
+    # so tune chunks fuse with the exact per-chain updates on core and
+    # pool once per chunk boundary — see the NUTS factory for details
+    adapt_metric = diag_adapt
     window_multiplier = (potential_template.window_multiplier
                          if adapt_metric else 1.0)
     pack = resolve_pack(trajectory_spec, model_ndim, local_chains) \
@@ -327,8 +329,6 @@ def build_fused_hmc_runner_factory(
 
     @functools.lru_cache(maxsize=64)
     def factory(chunk: int, tuning: bool, collect: bool):
-        if tuning and pooled:
-            return None  # per-draw path: pooling psums run per draw
         op = build_fused_hmc_op(
             trajectory_spec, model_ndim, chunk, bool(tuning),
             adapt_metric, config, window_multiplier,
@@ -423,6 +423,11 @@ def build_fused_hmc_runner_factory(
                     window=outs["window"].astype(jnp.int32),
                     window_multiplier=window_multiplier,
                 )
+                if pooled and tuning:
+                    from .parallel.cross_chain import cross_chain_potential_pool
+
+                    potential = cross_chain_potential_pool(
+                        potential, jnp.asarray(True))
             else:
                 potential = states.potential
 

@@ -921,11 +921,15 @@ def build_fused_nuts_runner_factory(
     - static dense (``QuadPotentialFull``): every phase fused — momentum
       is one MXU matmul against ``L^{-1}``, velocities matmuls against
       the shared covariance; dual averaging stays on core;
-    - pooled adaptive metrics (``pooled=True``, diag or dense
-      ``QuadPotentialFullAdapt``): the *draw* phase is fused with the
-      frozen post-tune metric; ``factory(..., tuning=True, ...)``
-      returns **None** — cross-chain pooling needs a per-draw psum over
-      the mesh, so the driver must run tune chunks on the per-draw path.
+    - pooled diagonal (``pooled=True`` + ``QuadPotentialDiagAdapt``):
+      every phase fused — the exact per-chain Welford updates run on
+      core and the epilogue pools the shared metric once per chunk
+      boundary (instead of once per draw);
+    - pooled dense (``pooled=True`` + ``QuadPotentialFullAdapt``): the
+      *draw* phase is fused with the frozen post-tune metric;
+      ``factory(..., tuning=True, ...)`` returns **None** — the
+      per-chain dense Welford state cannot live in VMEM, so the driver
+      must run dense tune chunks on the per-draw path.
     """
     from .quadpotential import (QuadPotentialDiag, QuadPotentialDiagAdapt,
                                 QuadPotentialFull, QuadPotentialFullAdapt,
@@ -946,9 +950,16 @@ def build_fused_nuts_runner_factory(
             "adaptive metric")
     dense = dense_static or dense_pooled
     metric = "dense" if dense else "diag"
-    # on-core dual-window Welford: only per-chain diagonal adaptation
-    # (pooled adaptation reduces across ALL chains in the XLA epilogue)
-    adapt_metric = diag_adapt and not pooled
+    # On-core dual-window Welford: per-chain *diagonal* adaptation — which
+    # pooled diag adaptation also is (pooling keeps per-chain accumulators
+    # and only recomputes the shared metric from the pooled fg moments,
+    # parallel/cross_chain.py). Fused pooled-diag tune chunks therefore run
+    # the exact per-chain updates on core and pool once per chunk boundary
+    # in the epilogue instead of once per draw: mid-chunk, chains ride
+    # their own per-chain estimate (the reference's non-pooled behavior);
+    # at every boundary — including the one that freezes the draw-phase
+    # metric — the estimate is the exact pooled one.
+    adapt_metric = diag_adapt
     window_multiplier = (potential_template.window_multiplier
                          if adapt_metric else 1.0)
     pack = resolve_pack(trajectory_spec, model_ndim, local_chains) \
@@ -956,8 +967,10 @@ def build_fused_nuts_runner_factory(
 
     @functools.lru_cache(maxsize=64)
     def factory(chunk: int, tuning: bool, collect: bool):
-        if tuning and pooled:
-            return None  # per-draw path: pooling psums run per draw
+        if tuning and pooled and dense:
+            # per-draw path: per-chain dense Welford state cannot live in
+            # VMEM, so dense pooling psums must run per draw in XLA
+            return None
         op = build_fused_nuts_op(
             trajectory_spec, model_ndim, chunk, bool(tuning),
             adapt_metric, config, window_multiplier,
@@ -1058,6 +1071,14 @@ def build_fused_nuts_runner_factory(
                     window=outs["window"].astype(jnp.int32),
                     window_multiplier=window_multiplier,
                 )
+                if pooled and tuning:
+                    # chunk-boundary pooling: recompute the shared metric
+                    # from the cross-chain fg moments (GSPMD turns the
+                    # reductions into psums over a sharded mesh)
+                    from .parallel.cross_chain import cross_chain_potential_pool
+
+                    potential = cross_chain_potential_pool(
+                        potential, jnp.asarray(True))
             else:
                 potential = states.potential
 

@@ -1069,9 +1069,10 @@ def sample(
         raise ValueError(
             "fuse_draws=True but the fused multi-draw kernel is unavailable "
             "for this configuration: it requires a Pallas trajectory spec, a "
-            "NUTS/HamiltonianMC step with no step_rand hook, a diagonal "
-            "metric, no cross_chain_adapt, no model_axis, and a lane-packable "
-            "chain count."
+            "NUTS/HamiltonianMC step with no step_rand hook, a diagonal or "
+            "dense metric (per-chain adaptive dense excluded; pooled dense "
+            "is NUTS-only), no model_axis, and a lane-packable per-device "
+            "chain count (>= 8 chains per device)."
         )
 
     # --- The compiled sampling program -----------------------------------
@@ -1079,9 +1080,12 @@ def sample(
     # multi-device mesh: GSPMD cannot auto-partition a pallas_call.
     if fused_factory is None or cross_chain_adapt:
         # The per-draw kernel: the only engine when no fused factory
-        # applies, and the tune-phase engine under pooled adaptation
-        # (the fused factory declines tune chunks — cross-chain pooling
-        # psums run per draw in this kernel's epilogue).
+        # applies, and the tune-phase engine under pooled *dense*
+        # adaptation (that fused factory declines tune chunks — the
+        # per-chain dense Welford state cannot live in VMEM, so its
+        # pooling psums run per draw in this kernel's epilogue). Pooled
+        # diag tune chunks fuse (per-chain updates on core, pooling at
+        # chunk boundaries), so this kernel stays cold there.
         kernel = step.build_kernel(logp_grad, mesh=mesh, chain_axis=chain_axis,
                                    pooled_metric=cross_chain_adapt,
                                    pallas_trajectory=resolved_pallas)

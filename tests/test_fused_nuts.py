@@ -373,21 +373,29 @@ def test_fused_pooled_dense_draw_phase_e2e():
     assert float(np.asarray(st["depth"])[:, -200:].mean()) <= 4.0
 
 
-def test_fused_pooled_diag_draw_phase_e2e():
-    """Pooled diagonal adaptation also gains the fused draw phase."""
+def test_fused_pooled_diag_e2e():
+    """Pooled diagonal adaptation fuses EVERY phase: per-chain Welford
+    updates on core, pooling once per chunk boundary in the epilogue.
+    The final metric must be the exact pooled estimate (identical rows
+    across chains)."""
     model = models.StandardNormal(4)
     step = lmc.NUTS(model_ndim=4,
                     pallas_trajectory=model.pallas_trajectory_spec(),
                     pallas_interpret=True)
-    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4,
-                        chains=32, tune=300, draws=400, random_seed=17,
-                        step=step, progressbar=False,
-                        cross_chain_adapt=True, fuse_draws=True,
-                        progress_every=100)
+    tr, st, fs = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4,
+                            chains=32, tune=300, draws=400, random_seed=17,
+                            step=step, progressbar=False,
+                            cross_chain_adapt=True, fuse_draws=True,
+                            progress_every=100, return_final_state=True)
     tr2 = np.asarray(tr).reshape(-1, 4)
     assert np.abs(tr2.mean(0)).max() < 0.1
     assert np.all(np.abs(tr2.var(0) - 1.0) < 0.2)
     assert np.asarray(st["diverging"]).mean() < 0.01
+    # chunk-boundary pooling happened: every chain carries the same var
+    var = np.asarray(fs.potential.var)
+    np.testing.assert_allclose(var, np.broadcast_to(var[0], var.shape),
+                               rtol=0, atol=0)
+    assert np.all(np.abs(var[0] - 1.0) < 0.35)  # adapted toward N(0,1)
 
 
 def test_fused_hmc_static_dense_metric_e2e():
@@ -408,8 +416,8 @@ def test_fused_hmc_static_dense_metric_e2e():
     assert np.asarray(st["diverging"]).mean() < 0.01
 
 
-def test_fused_hmc_pooled_diag_draw_phase_e2e():
-    """Pooled diagonal HMC: per-draw tune chunks, fused draw chunks."""
+def test_fused_hmc_pooled_diag_e2e():
+    """Pooled diagonal HMC: every phase fused, pooling at chunk boundaries."""
     model = models.StandardNormal(4)
     step = lmc.HamiltonianMC(model_ndim=4, path_length=2.0,
                              pallas_trajectory=model.pallas_trajectory_spec(),
