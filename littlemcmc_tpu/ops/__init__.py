@@ -14,7 +14,7 @@ path for models expressible in Pallas (see
 ``build_nuts_kernel(..., trajectory_spec=...)``).
 """
 
-from .autospec import make_pallas_model_spec, mosaic_friendly_calls, probe_spec
+from .autospec import make_pallas_model_spec, probe_spec, stable_substitute
 from .gaussian_pallas import quadform_logp_grad
 from .nuts_trajectory_pallas import PallasModelSpec, build_trajectory_op
 
@@ -24,5 +24,5 @@ __all__ = [
     "build_trajectory_op",
     "make_pallas_model_spec",
     "probe_spec",
-    "mosaic_friendly_calls",
+    "stable_substitute",
 ]

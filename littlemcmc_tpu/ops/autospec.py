@@ -25,12 +25,15 @@ How it works:
 2. Inside the kernel the jaxpr is replayed under ``jax.vmap`` over the
    chain-block rows of the padded state: per-sample rank-1 intermediates
    become rank-2 batched ops, which is exactly what Mosaic wants.
-3. Tracing happens under :func:`mosaic_friendly_calls`: a few jax.nn /
-   jnp functions (``log_sigmoid``, ``softplus``, ``logaddexp``) carry
-   ``custom_jvp`` residual computations whose transposed/select-heavy
-   VJPs crash the Mosaic compiler (measured on v5e, jax 0.9); they are
-   swapped for algebraically identical numerically-stable forms whose
-   VJPs lower cleanly.
+3. Before differentiation, the traced jaxpr is replayed through
+   :func:`stable_substitute`: ``custom_jvp_call`` eqns that are
+   *semantically verified* to compute ``logaddexp`` (which also covers
+   ``jax.nn.softplus`` and ``log_sigmoid`` — both reduce to it) are
+   replaced by algebraically identical numerically-stable forms, because
+   the originals carry custom-JVP residual computations whose
+   transposed/select-heavy VJPs crash the Mosaic compiler (measured on
+   v5e, jax 0.9). The rewrite touches only this trace's jaxpr — no
+   module globals, safe under concurrent tracing from other threads.
 
 4. The batched jaxpr is replayed inside the kernel through a small
    rewriting interpreter (:func:`_replay`) that fixes two measured
@@ -62,10 +65,8 @@ tiny block and any failure selects the XLA tree instead.
 
 from __future__ import annotations
 
-import contextlib
 import functools
 import logging
-import threading
 from typing import Callable, Optional
 
 import jax
@@ -74,7 +75,7 @@ import numpy as np
 
 from .nuts_trajectory_pallas import PallasModelSpec, padded_dim
 
-__all__ = ["make_pallas_model_spec", "probe_spec", "mosaic_friendly_calls"]
+__all__ = ["make_pallas_model_spec", "probe_spec", "stable_substitute"]
 
 _log = logging.getLogger("littlemcmc_tpu")
 
@@ -257,62 +258,139 @@ def _replay(jaxpr, consts, *args):
     return [read(v) for v in jaxpr.outvars]
 
 
-def _stable_log_sigmoid(x):
-    # log sigmoid(x) = min(x, 0) - log1p(exp(-|x|)); VJP is plain
-    # exp/select ops that Mosaic lowers (jax.nn.log_sigmoid's custom_jvp
-    # residuals do not).
-    return jnp.minimum(x, 0.0) - jnp.log1p(jnp.exp(-jnp.abs(x)))
-
-
-def _stable_softplus(x):
-    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
-
-
 def _stable_logaddexp(a, b):
-    m = jnp.maximum(a, b)
-    # guard the (-inf, -inf) / (inf, inf) corners: a - b is NaN there,
-    # but logaddexp is just m (matches jnp.logaddexp)
-    return jnp.where(jnp.isinf(m), m,
-                     m + jnp.log1p(jnp.exp(-jnp.abs(a - b))))
+    """``logaddexp`` with plain-op VJP, exact gradients everywhere.
 
-
-_patch_lock = threading.RLock()
-
-
-@contextlib.contextmanager
-def mosaic_friendly_calls():
-    """Swap custom-JVP jax.nn/jnp functions for Mosaic-lowerable forms.
-
-    Active only while tracing (the swapped functions produce identical
-    values; only the autodiff *implementation* differs). Used by
-    :func:`make_pallas_model_spec`; public so hand-written specs can
-    reuse it. Serialized by a process-wide lock — the patches touch
-    module globals, so an unserialized concurrent enter/exit could leave
-    them permanently installed.
-
-    .. warning:: The swap is **process-wide** while active: an unrelated
-       JAX trace running concurrently in *another thread* during the
-       window silently sees the substituted functions (identical values,
-       different VJP graph). Spec building is fast (one ``make_jaxpr``),
-       but if you trace other models from other threads, serialize them
-       against spec building — or pass ``stable_swaps=False``, which
-       relies on ``_replay``'s jaxpr-level rewrites alone and touches no
-       globals.
+    The shift is ``stop_gradient(max(a, b))`` — it cancels
+    mathematically, so ``d/da log(exp(a-s) + exp(b-s))`` is the exact
+    softmax weight ``exp(a-m)/(exp(a-m)+exp(b-m))`` *including at ties*
+    (a ``max``/``abs`` formulation picks a subgradient at ``a == b``
+    where the true function is smooth). Infinity corners are guarded:
+    ``a - s`` would be NaN at ``(-inf, -inf)`` / ``(inf, inf)``, but the
+    result is just ``m`` there (matches ``jnp.logaddexp``), and the
+    unselected branch's log argument is pinned to 1 so no NaN reaches
+    the VJP.
     """
-    patches = [
-        (jax.nn, "log_sigmoid", _stable_log_sigmoid),
-        (jax.nn, "softplus", _stable_softplus),
-        (jnp, "logaddexp", _stable_logaddexp),
-    ]
-    with _patch_lock:
-        saved = [(mod, name, getattr(mod, name)) for mod, name, _ in patches]
-        try:
-            for mod, name, repl in patches:
-                setattr(mod, name, repl)
-            yield
-        finally:
-            for mod, name, orig in saved:
-                setattr(mod, name, orig)
+    import jax.lax as lax
+
+    m = jnp.maximum(a, b)
+    inf = jnp.isinf(m)
+    shift = lax.stop_gradient(jnp.where(inf, 0.0, m))
+    s = jnp.exp(a - shift) + jnp.exp(b - shift)
+    return jnp.where(inf, m, shift + jnp.log(jnp.where(inf, 1.0, s)))
+
+
+def _is_logaddexp_call(eqn) -> bool:
+    """True iff a ``custom_jvp_call`` eqn computes ``logaddexp``.
+
+    Matched *semantically*, not by eqn-pattern: the primal ``call_jaxpr``
+    is evaluated concretely on probe values spanning the function's
+    branch regimes (small / moderate / large ``|a - b|`` and the equal
+    case) and compared against ``np.logaddexp``. This is what makes the
+    substitution robust across JAX versions — and it matches every
+    carrier of the measured Mosaic-hostile custom-JVP residuals at once,
+    since ``jax.nn.softplus(x)`` traces to ``logaddexp(x, 0)`` and
+    ``jax.nn.log_sigmoid(x)`` to ``-softplus(-x)``.
+    """
+    if eqn.primitive.name != "custom_jvp_call" or len(eqn.outvars) != 1:
+        return False
+    if eqn.params.get("num_consts", 0) or len(eqn.invars) != 2:
+        return False
+    inner = _inner_closed_jaxpr(eqn)
+    if inner is None:
+        return False
+    avals = [v.aval for v in eqn.invars]
+    if any(not jnp.issubdtype(a.dtype, jnp.floating) for a in avals):
+        return False
+    try:
+        # The replay runs under an active trace, where primitive binds
+        # stage instead of evaluating; ensure_compile_time_eval makes
+        # this probe evaluation concrete (and keeps its values out of
+        # the traced jaxpr).
+        rng = np.random.RandomState(0)
+        with jax.ensure_compile_time_eval():
+            for scale in (0.5, 5.0, 50.0, 0.0):
+                vals = [np.asarray(rng.randn(*a.shape) * scale, a.dtype)
+                        for a in avals]
+                out = _eval_jaxpr(inner.jaxpr, inner.consts, *vals)
+                ref = np.logaddexp(*vals)
+                got = np.asarray(out[0])
+                if (len(out) != 1 or got.shape != ref.shape
+                        or not np.allclose(got, ref, rtol=1e-5, atol=1e-6)):
+                    return False
+    except Exception:
+        return False
+    return True
+
+
+# Scopes the substitution replay descends into looking for logaddexp
+# calls (jax.nn.softplus / log_sigmoid wrap theirs in named jit scopes).
+# custom_jvp/vjp/remat are deliberately NOT recursed pre-differentiation:
+# inlining them would discard user autodiff rules and remat policies, so
+# unmatched ones are re-bound verbatim via ``get_bind_params``.
+_TRANSPARENT_CALL_PRIMS = ("pjit", "jit", "closed_call", "core_call")
+
+
+def _replay_substituting(jaxpr, consts, *args):
+    """Replay a jaxpr, substituting logaddexp custom-JVP calls.
+
+    Pre-differentiation counterpart of :func:`_replay`: run *before*
+    ``jax.value_and_grad`` so the stable form's plain-op VJP is what gets
+    differentiated, replacing the measured Mosaic-hostile custom-JVP
+    residuals of ``logaddexp`` / ``softplus`` / ``log_sigmoid`` (v5e,
+    jax 0.9). Context-safe by construction — rewrites this trace's jaxpr
+    only, no module globals (the round-2 ``mosaic_friendly_calls``
+    monkey-patches this replaces leaked the swap to concurrent traces in
+    other threads).
+    """
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, _Literal) else env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        name = eqn.primitive.name
+        inner = (_inner_closed_jaxpr(eqn)
+                 if name in _TRANSPARENT_CALL_PRIMS else None)
+        if inner is not None:
+            n_explicit = len(inner.jaxpr.invars)
+            outs = _replay_substituting(inner.jaxpr, inner.consts,
+                                        *invals[:n_explicit])
+        elif _is_logaddexp_call(eqn):
+            outs = [_stable_logaddexp(*invals)]
+        else:
+            subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
+            outs = eqn.primitive.bind(*subfuns, *invals, **bind_params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+        for v, o in zip(eqn.outvars, outs):
+            env[v] = o
+    return [read(v) for v in jaxpr.outvars]
+
+
+def stable_substitute(fn: Callable, ndim: int, dtype=jnp.float32) -> Callable:
+    """Value-identical wrapper of ``fn`` with stable logaddexp forms.
+
+    Traces ``fn`` once at shape ``(ndim,)`` and returns a callable that
+    replays the jaxpr with every (semantically verified) ``logaddexp``
+    custom-JVP call — including those inside ``jax.nn.softplus`` /
+    ``log_sigmoid`` — replaced by an algebraically identical form whose
+    VJP is plain exp/select ops that Mosaic lowers. Other custom-JVP/VJP
+    rules and remat policies are preserved verbatim. Thread-safe: no
+    module state is touched.
+    """
+    closed0 = jax.make_jaxpr(fn)(jax.ShapeDtypeStruct((int(ndim),), dtype))
+
+    def substituted(q):
+        outs = _replay_substituting(closed0.jaxpr, closed0.consts, q)
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+    return substituted
 
 
 def _const_to_2d(c: jax.Array) -> jax.Array:
@@ -350,16 +428,26 @@ def make_pallas_model_spec(
     if ndim is None:
         raise ValueError("ndim is required")
     ndim = int(ndim)
-    fn0 = logp_dlogp_func if logp_dlogp_func is not None else jax.value_and_grad(logp_fn)
 
-    # ``stable_swaps=False`` traces without the module-global patches and
-    # relies on _replay's jaxpr-level rewrites alone (the bool-transpose
-    # and rank-1-dot fixes postdate the patches and may subsume them —
+    # ``stable_swaps=True`` (default): substitute logaddexp-family
+    # custom-JVP calls at the jaxpr level via :func:`stable_substitute`.
+    # For ``logp_fn`` the substitution runs BEFORE value_and_grad, so the
+    # stable form's plain-op VJP is what gets differentiated. For a
+    # user-supplied pair fn, any *internal* jax.grad already ran inside
+    # the user's code, so only primal calls can be substituted; if the
+    # baked-in custom-JVP residuals don't survive Mosaic, probe_spec
+    # falls back to the XLA tree (logged). ``stable_swaps=False`` skips
+    # substitution and relies on _replay's kernel-level rewrites alone
+    # (the bool-transpose and rank-1-dot fixes may subsume it —
     # TPU-verifiable via tests/test_autospec.py's no-swaps probe).
-    swap_ctx = (mosaic_friendly_calls() if stable_swaps
-                else contextlib.nullcontext())
-    with swap_ctx:
-        closed = jax.make_jaxpr(fn0)(jax.ShapeDtypeStruct((ndim,), dtype))
+    if logp_fn is not None:
+        base = (stable_substitute(logp_fn, ndim, dtype) if stable_swaps
+                else logp_fn)
+        fn0 = jax.value_and_grad(base)
+    else:
+        fn0 = (stable_substitute(logp_dlogp_func, ndim, dtype)
+               if stable_swaps else logp_dlogp_func)
+    closed = jax.make_jaxpr(fn0)(jax.ShapeDtypeStruct((ndim,), dtype))
     out_avals = closed.out_avals
     if (
         len(out_avals) != 2

@@ -630,7 +630,7 @@ def build_fused_nuts_op(
                 fg_raw=unrow(fgvf),
                 bg_mean=unrow(bgmf),
                 bg_raw=unrow(bgvf),
-                fg_w=sc(soutf, 8 + _B_FW2 - _B_FW2) if False else sc(soutf, 7),
+                fg_w=sc(soutf, 7),
                 fg_w2=sc(soutf, 8),
                 bg_w=sc(soutf, 9),
                 bg_w2=sc(soutf, 10),

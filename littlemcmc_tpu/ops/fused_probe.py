@@ -1,0 +1,127 @@
+"""Runtime capability probes for the fused multi-draw kernels.
+
+The fused kernels (:mod:`.fused_nuts_pallas`, :mod:`.fused_hmc_pallas`)
+rely on two Mosaic behaviors that CPU interpret mode exercises but
+cannot validate for the real TPU lowering:
+
+1. ``cos``/``sin`` lowering — the on-core Box–Muller momentum refresh
+   evaluates ``jnp.cos`` on f32 vectors.
+2. Grid scratch persistence — chain state lives in VMEM scratch across
+   the ``T`` sequential grid steps of one ``pallas_call``.
+
+:func:`fused_engine_supported` compiles and runs two tiny probe kernels
+once per process (cached per backend) and reports whether both behave
+correctly. The driver consults it when *auto-selecting* the fused
+engine (``sample(fuse_draws=None)``) on a real TPU backend, so a Mosaic
+regression degrades to the per-draw engine with a log line instead of
+crashing mid-run. An explicit ``fuse_draws=True`` bypasses the probe —
+the user asked for the fused engine and should see the real error.
+
+``scripts/mosaic_probes.py`` wraps the same probes as a pre-flight CLI.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+_log = logging.getLogger("littlemcmc_tpu")
+
+_CACHE: dict = {}
+
+__all__ = ["fused_engine_supported", "probe_cos", "probe_grid_scratch"]
+
+
+def probe_cos(interpret: bool = False) -> bool:
+    """``jnp.cos``/``jnp.sin`` lower and evaluate correctly on f32 rows."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = jnp.cos(x_ref[:]) + jnp.sin(x_ref[:])
+
+    x = np.linspace(-6, 6, 8 * 128, dtype=np.float32).reshape(8, 128)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(x)
+    return bool(np.allclose(np.asarray(out), np.cos(x) + np.sin(x),
+                            atol=1e-5))
+
+
+def probe_grid_scratch(interpret: bool = False) -> bool:
+    """VMEM scratch persists across sequential grid iterations."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = 7
+
+    def kernel(o_ref, acc_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[:] = jnp.ones_like(acc_ref)
+
+        @pl.when(t > 0)
+        def _():
+            acc_ref[:] = acc_ref[:] * 2.0 + 1.0
+
+        @pl.when(t == T - 1)
+        def _():
+            o_ref[:] = acc_ref[:]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        out_specs=pl.BlockSpec((8, 128), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )()
+    expect = 1.0
+    for _ in range(T - 1):
+        expect = expect * 2.0 + 1.0  # 127 for T=7
+    return bool(np.allclose(np.asarray(out), expect))
+
+
+def fused_engine_supported(interpret: bool = False) -> bool:
+    """True iff the fused kernels' Mosaic dependencies hold on this backend.
+
+    Interpret mode is trusted by construction (the CPU test suite runs
+    the full fused engine through it), so ``interpret=True`` returns
+    True without compiling anything. Results are cached per
+    ``(backend, interpret)`` for the life of the process.
+    """
+    if interpret:
+        return True
+    import jax
+
+    key = (jax.default_backend(), interpret)
+    if key not in _CACHE:
+        try:
+            ok = probe_cos(interpret) and probe_grid_scratch(interpret)
+        except Exception as e:  # Mosaic lowering / runtime failure
+            _log.info("Fused-engine probe failed to compile/run (%s: %s)",
+                      type(e).__name__, e)
+            ok = False
+        if not ok:
+            _log.warning(
+                "Fused multi-draw engine disabled: Mosaic capability probe "
+                "failed on backend %r (cos lowering or grid-scratch "
+                "persistence). Falling back to the per-draw engine; pass "
+                "fuse_draws=True to force the fused engine and see the "
+                "underlying error.", key[0])
+        _CACHE[key] = ok
+    return _CACHE[key]

@@ -1050,7 +1050,18 @@ def sample(
             # diagonal-only, so pooled-dense tune chunks would have no
             # engine to fall back to
             dense_ok = isinstance(pot_template, QuadPotentialFull)
-        if (diag_ok or dense_ok) and usable_chain_count(local_chains, 256):
+        # Auto mode consults the Mosaic capability probe (one-time, cached)
+        # so an on-chip lowering regression degrades to the per-draw engine
+        # instead of crashing the first fused chunk; an explicit
+        # fuse_draws=True bypasses it to surface the real error.
+        probe_ok = True
+        if (fuse_draws is None and (diag_ok or dense_ok)
+                and usable_chain_count(local_chains, 256)):
+            from .ops.fused_probe import fused_engine_supported
+
+            probe_ok = fused_engine_supported(step.pallas_interpret)
+        if (diag_ok or dense_ok) and probe_ok \
+                and usable_chain_count(local_chains, 256):
             if isinstance(step, NUTS):
                 from .nuts import build_fused_nuts_runner_factory as _bff
             else:

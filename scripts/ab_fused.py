@@ -24,7 +24,10 @@ sys.path.insert(0, REPO)
 # VERDICT #2 target (per-chain row 14.8k; pooled per-draw row 56.5k).
 R02 = {"std_normal_1d": 315263.1, "eight_schools_10k_chains": 555711.0,
        "corr_gaussian_100d_diag": 59113.6,
-       "corr_gaussian_100d_full_pooled": 56489.2}
+       "corr_gaussian_100d_full_pooled": 56489.2,
+       # no round-2 pooled-diag suite row: compare against the per-chain
+       # diag row, the closest per-draw ancestor of this config
+       "corr_gaussian_100d_diag_pooled": 59113.6}
 
 
 def run(name, model, chains, tune, draws, target_accept, fuse, **extra):
@@ -60,6 +63,11 @@ def main():
             models.CorrelatedGaussian(100), 1024, 500, 1000, 0.8, {}),
         "eight_schools_10k_chains": (
             models.EightSchools(), 10240, 500, 500, 0.95, {}),
+        # pooled diag: EVERY phase fused (per-chain Welford on core,
+        # pooling once per chunk boundary) — new in round 3
+        "corr_gaussian_100d_diag_pooled": (
+            models.CorrelatedGaussian(100), 1024, 500, 1000, 0.8,
+            {"cross_chain_adapt": True}),
         # fused dense draw phase (tune stays per-draw w/ pooling psums)
         "corr_gaussian_100d_full_pooled": (
             models.CorrelatedGaussian(100), 256, 500, 1000, 0.8,

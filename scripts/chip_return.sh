@@ -57,4 +57,5 @@ echo "Artifacts: TEST_TPU_RUN.txt AB_FUSED.json BENCH_SUITE.json"
 echo "Logs in $LOG/. Review, update NOTES.md/README.md, then commit."
 echo "Reminder: the no-swaps probe verdict is in test_tpu.log"
 echo "  (test_probe_matrix_without_trace_time_swaps) — if all three rows"
-echo "  lower, retire the mosaic_friendly_calls patches (VERDICT #9)."
+echo "  lower, even the (context-safe) stable_substitute step is"
+echo "  redundant and stable_swaps can default to False."

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 import littlemcmc_tpu as lmc
-from littlemcmc_tpu.ops import make_pallas_model_spec, mosaic_friendly_calls
+from littlemcmc_tpu.ops import make_pallas_model_spec, stable_substitute
 from littlemcmc_tpu.ops.autospec import _replay
 
 requires_tpu = pytest.mark.skipif(
@@ -172,20 +172,62 @@ def test_hierarchical_gather_model_interpret_e2e():
     assert np.asarray(stats["diverging"]).mean() < 0.02
 
 
-def test_mosaic_friendly_substitutes_match_jax_nn():
+def test_stable_substitute_matches_jax_nn():
+    """The jaxpr-level substitution is value- and gradient-identical to
+    the jax.nn originals across branch regimes, and eliminates every
+    logaddexp-family custom_jvp_call from the differentiated jaxpr."""
     x = jnp.asarray([-30.0, -3.0, -0.5, 0.0, 0.5, 3.0, 30.0], jnp.float32)
-    with mosaic_friendly_calls():
-        ls = jax.nn.log_sigmoid(x)
-        sp = jax.nn.softplus(x)
-        la = jnp.logaddexp(x, 0.3 * x)
-    np.testing.assert_allclose(np.asarray(ls), np.asarray(jax.nn.log_sigmoid(x)),
+
+    def f(q):
+        return (jnp.sum(jax.nn.log_sigmoid(q)) + jnp.sum(jax.nn.softplus(q))
+                + jnp.sum(jnp.logaddexp(q, 0.3 * q)))
+
+    sub = stable_substitute(f, x.shape[0])
+    np.testing.assert_allclose(np.asarray(sub(x)), np.asarray(f(x)),
                                rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(sp), np.asarray(jax.nn.softplus(x)),
+    g_ref = jax.grad(f)(x)
+    g_sub = jax.grad(sub)(x)
+    np.testing.assert_allclose(np.asarray(g_sub), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(la), np.asarray(jnp.logaddexp(x, 0.3 * x)),
-                               rtol=1e-6, atol=1e-7)
-    # the context restores the originals
+
+    # no custom_jvp_call survives anywhere in the differentiated jaxpr
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            yield eqn.primitive.name
+            for key in ("jaxpr", "call_jaxpr"):
+                inner = eqn.params.get(key)
+                if inner is not None:
+                    yield from walk(getattr(inner, "jaxpr", inner))
+
+    closed = jax.make_jaxpr(jax.value_and_grad(sub))(x)
+    assert "custom_jvp_call" not in set(walk(closed.jaxpr))
+    # module globals untouched
     assert jax.nn.log_sigmoid.__module__.startswith("jax")
+
+
+def test_stable_substitute_preserves_user_custom_jvp():
+    """A user custom_jvp that is NOT logaddexp must pass through verbatim
+    — including its (deliberately scaled) gradient rule."""
+
+    @jax.custom_jvp
+    def myprod(a, b):
+        return a * b
+
+    @myprod.defjvp
+    def _jvp(primals, tangents):
+        a, b = primals
+        da, db = tangents
+        return a * b, 7.0 * (da * b + a * db)  # deliberately non-standard
+
+    def f(q):
+        return jnp.sum(myprod(q, q)) + jnp.sum(jnp.logaddexp(q, 0.0))
+
+    x = jnp.asarray([0.5, 1.0, -1.0, 2.0], jnp.float32)
+    sub = stable_substitute(f, 4)
+    np.testing.assert_allclose(np.asarray(sub(x)), np.asarray(f(x)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jax.grad(sub)(x)),
+                               np.asarray(jax.grad(f)(x)), rtol=1e-6)
 
 
 def test_autospec_interpret_e2e_posterior_parity():
@@ -351,14 +393,14 @@ def test_gather_scatter_model_falls_back_cleanly(caplog):
 
 @requires_tpu
 def test_probe_matrix_without_trace_time_swaps():
-    """Diagnostic for retiring the module-global trace-time patches.
+    """Diagnostic for retiring the stable-substitution step entirely.
 
     ``_replay``'s jaxpr-level rewrites (bool transposes, rank-1 dots)
-    postdate the ``mosaic_friendly_calls`` patches and may subsume them.
-    This probes the custom-JVP-heavy models with ``stable_swaps=False``:
-    if every row lowers, the patches are redundant and can be removed
-    (VERDICT #9). Records the outcome either way — the auto path keeps
-    using the swaps until this passes on real hardware.
+    postdate the logaddexp substitution and may subsume it. This probes
+    the custom-JVP-heavy models with ``stable_swaps=False``: if every
+    row lowers, even the (already context-safe) substitution is
+    redundant. Records the outcome either way — the auto path keeps the
+    substitution until this passes on real hardware.
     """
     from littlemcmc_tpu.ops import probe_spec
 

@@ -462,3 +462,49 @@ def test_fused_dense_multi_block():
     assert not np.allclose(tr[:, 0], tr[:, 8])
     # every chain moved (nonzero acceptance across T draws)
     assert (np.abs(tr[-1] - np.asarray(q)).max(axis=1) > 0).all()
+
+
+def test_fused_probe_interpret_mode():
+    """The capability probes pass in interpret mode, and interpret-mode
+    auto-selection trusts them without compiling anything."""
+    from littlemcmc_tpu.ops import fused_probe
+
+    assert fused_probe.probe_cos(interpret=True)
+    assert fused_probe.probe_grid_scratch(interpret=True)
+    assert fused_probe.fused_engine_supported(interpret=True)
+
+
+def test_fused_probe_failure_gates_auto_selection(monkeypatch):
+    """When the Mosaic probe reports unsupported, sample(fuse_draws=None)
+    must degrade to the per-draw engine (never touch the fused factory);
+    an explicit fuse_draws=True bypasses the probe."""
+    from littlemcmc_tpu.ops import fused_probe
+    import littlemcmc_tpu.nuts as nuts_mod
+
+    model = models.StandardNormal(2)
+    step = lmc.NUTS(model_ndim=2,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    monkeypatch.setattr(fused_probe, "fused_engine_supported",
+                        lambda interpret=False: False)
+
+    def _explode(*a, **k):
+        raise AssertionError("fused factory must not be built when the "
+                             "capability probe fails in auto mode")
+
+    monkeypatch.setattr(nuts_mod, "build_fused_nuts_runner_factory",
+                        _explode)
+    tr, _ = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=2,
+                       chains=8, tune=50, draws=50, random_seed=3,
+                       step=step, progressbar=False, fuse_draws=None)
+    assert tr.shape == (8, 50, 2)
+
+    # explicit opt-in bypasses the probe (and uses the real factory)
+    monkeypatch.undo()
+    monkeypatch.setattr(fused_probe, "fused_engine_supported",
+                        lambda interpret=False: False)
+    tr2, _ = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=2,
+                        chains=8, tune=50, draws=50, random_seed=3,
+                        step=step, progressbar=False, fuse_draws=True,
+                        progress_every=25)
+    assert tr2.shape == (8, 50, 2)
