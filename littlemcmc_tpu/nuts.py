@@ -890,6 +890,32 @@ def _fused_welford_tuple(pot):
             pot.n_samples.astype(jnp.float32), pot.window.astype(jnp.float32))
 
 
+def _pool_dense_welford(pot):
+    """Global pooled moments from a chain-batched ``QuadPotentialFullAdapt``.
+
+    Exact Chan combination over chains for both windows (the same math
+    as :func:`littlemcmc_tpu.parallel.cross_chain._pooled_cov`, kept as
+    full ``(mean, raw, weight)`` states). Runs at the global jit level,
+    so GSPMD lowers the chain reductions to psums over a sharded mesh.
+    """
+    f32 = jnp.float32
+
+    def pool(wf):
+        nc = wf.n_samples.astype(f32)  # (C,)
+        N = jnp.sum(nc)
+        M = jnp.sum(nc[:, None] * wf.mean, axis=0) / jnp.maximum(N, 1e-30)
+        d = wf.mean - M
+        raw = jnp.sum(wf.raw_cov, axis=0) + jnp.einsum("c,ci,cj->ij", nc, d, d)
+        return M, raw, N
+
+    fgM, fgR, fgW = pool(pot.fg)
+    bgM, bgR, bgW = pool(pot.bg)
+    return (fgM, fgR, fgW, bgM, bgR, bgW,
+            pot.n_samples[0].astype(f32),
+            pot.prev_update[0].astype(f32),
+            pot.window[0].astype(f32))
+
+
 def build_fused_nuts_runner_factory(
     config: NUTSConfig,
     trajectory_spec,
@@ -925,11 +951,15 @@ def build_fused_nuts_runner_factory(
       every phase fused — the exact per-chain Welford updates run on
       core and the epilogue pools the shared metric once per chunk
       boundary (instead of once per draw);
-    - pooled dense (``pooled=True`` + ``QuadPotentialFullAdapt``): the
-      *draw* phase is fused with the frozen post-tune metric;
-      ``factory(..., tuning=True, ...)`` returns **None** — the
-      per-chain dense Welford state cannot live in VMEM, so the driver
-      must run dense tune chunks on the per-draw path.
+    - pooled dense (``pooled=True`` + ``QuadPotentialFullAdapt``): every
+      phase fused. Tune chunks carry a block-local pooled Welford
+      covariance in VMEM (one MXU rows-contraction per draw, window
+      swaps on core); the epilogue Chan-combines blocks and devices
+      exactly and refreshes the metric (pooled covariance + Cholesky) at
+      the chunk boundary. Mid-chunk the metric is frozen — Stan's
+      boundary-cadence adaptation rather than the reference's every-draw
+      refresh; boundaries re-synchronize to the exact pooled estimate.
+      Draw chunks run with the frozen post-tune metric.
     """
     from .quadpotential import (QuadPotentialDiag, QuadPotentialDiagAdapt,
                                 QuadPotentialFull, QuadPotentialFullAdapt,
@@ -961,29 +991,26 @@ def build_fused_nuts_runner_factory(
     # metric — the estimate is the exact pooled one.
     adapt_metric = diag_adapt
     window_multiplier = (potential_template.window_multiplier
-                         if adapt_metric else 1.0)
+                         if (adapt_metric or dense_pooled) else 1.0)
     pack = resolve_pack(trajectory_spec, model_ndim, local_chains) \
         if not dense else 1
 
     @functools.lru_cache(maxsize=64)
     def factory(chunk: int, tuning: bool, collect: bool):
-        if tuning and pooled and dense:
-            # per-draw path: per-chain dense Welford state cannot live in
-            # VMEM, so dense pooling psums must run per draw in XLA
-            return None
+        adapt_dense = bool(tuning) and dense_pooled
         op = build_fused_nuts_op(
             trajectory_spec, model_ndim, chunk, bool(tuning),
             adapt_metric, config, window_multiplier,
             interpret=interpret, pack=pack, collect_trace=bool(collect),
-            metric=metric,
+            metric=metric, adapt_dense=adapt_dense,
         )
 
-        def call_op(states: ChainState, seed):
+        def call_op(states: ChainState, seed, dense_welford=None):
             pot = states.potential
             linv = None
             if dense:
                 # shared metric: row 0 is every chain's matrix (static, or
-                # pooled-overwritten each tuning step). L^{-1} turns the
+                # pooled-overwritten each chunk boundary). L^{-1} turns the
                 # momentum draw into a matmul; one small triangular solve
                 # per chunk, nothing per draw.
                 var = pot.cov[0]
@@ -1000,7 +1027,7 @@ def build_fused_nuts_runner_factory(
                 states.iter_count.astype(jnp.float32),
                 states.da.log_step, states.da.log_bar, states.da.hbar,
                 states.da.count.astype(jnp.float32), states.da.mu,
-                var, welford, seed, linv=linv,
+                var, welford, seed, linv=linv, dense_welford=dense_welford,
             )
 
         if mesh is not None:
@@ -1010,34 +1037,54 @@ def build_fused_nuts_runner_factory(
             Pc = PartitionSpec(chain_axis)
             Pr = PartitionSpec()
 
-            def call_local(states, seed):
+            def call_local(states, seed, dense_welford=None):
                 dev = jax.lax.axis_index(chain_axis).astype(jnp.int32)
                 seed = seed + jnp.stack([dev * jnp.int32(1000003),
                                          jnp.int32(0)])
-                return call_op(states, seed)
+                return call_op(states, seed, dense_welford)
 
             # per-draw streams are (T, C, ...): chain-sharded on axis 1;
-            # everything else is chain-batched state, sharded on axis 0.
-            # Keyed by NAME (a shape[0] == chunk heuristic mis-shards when
-            # the chunk length coincides with another dimension).
+            # pooled-dense block states are device-stacked on axis 0 and
+            # the shared counters replicated; everything else is
+            # chain-batched state, sharded on axis 0. Keyed by NAME (a
+            # shape[0] == chunk heuristic mis-shards when the chunk
+            # length coincides with another dimension).
             _PER_DRAW = frozenset({"trace", "energy", "model_logp", "depth", "n_leaves", "diverging", "turning", "max_energy_change", "energy_error", "mean_tree_accept", "step_size", "step_size_bar"})
+            _REPLICATED = frozenset({"n_samples", "prev_update", "window"}
+                                    if adapt_dense else ())
 
-            def sharded_call(states, seed):
+            def sharded_call(states, seed, dense_welford=None):
                 from jax.tree_util import tree_map_with_path
 
                 in_specs = (jax.tree.map(lambda _: Pc, states,
                                          is_leaf=lambda x: x is None), Pr)
-                out_shapes = jax.eval_shape(call_op, states, seed)
+                args = (states, seed)
+                if dense_welford is not None:
+                    # The kernel seeds each of its LOCAL B blocks with
+                    # 1/B of the state it receives; with D devices the
+                    # exact-combine identity needs 1/(D*B) per block, so
+                    # pre-scale the extensive leaves (raw scatter +
+                    # weights; means and counters are intensive) by 1/D.
+                    nd = float(mesh.shape[chain_axis]
+                               if chain_axis in mesh.shape else mesh.size)
+                    dw = list(dense_welford)
+                    for _i in (1, 2, 4, 5):  # fg_raw, fg_w, bg_raw, bg_w
+                        dw[_i] = dw[_i] / nd
+                    dense_welford = tuple(dw)
+                    in_specs += (jax.tree.map(lambda _: Pr, dense_welford),)
+                    args += (dense_welford,)
+                out_shapes = jax.eval_shape(call_op, *args)
                 out_specs = tree_map_with_path(
                     lambda path, sh: (PartitionSpec(None, chain_axis)
                                       if str(path[0].key) in _PER_DRAW
+                                      else Pr if str(path[0].key) in _REPLICATED
                                       else Pc),
                     out_shapes,
                 )
                 return shard_map(
                     call_local, mesh=mesh, in_specs=in_specs,
                     out_specs=out_specs, check_vma=False,
-                )(states, seed)
+                )(*args)
 
             runner_call = sharded_call
         else:
@@ -1047,7 +1094,12 @@ def build_fused_nuts_runner_factory(
         def run_chunk(states: ChainState):
             key_next, k_seed = _split_each(states.rng_key, 2)
             seed = jax.random.key_data(k_seed)[0].astype(jnp.int32)
-            outs = runner_call(states, seed)
+            dense_welford = (_pool_dense_welford(states.potential)
+                             if adapt_dense else None)
+            if dense_welford is not None:
+                outs = runner_call(states, seed, dense_welford)
+            else:
+                outs = runner_call(states, seed)
 
             da = DualAverageState(
                 log_step=outs["da_log_step"],
@@ -1079,6 +1131,46 @@ def build_fused_nuts_runner_factory(
 
                     potential = cross_chain_potential_pool(
                         potential, jnp.asarray(True))
+            elif adapt_dense:
+                from .ops.fused_nuts_pallas import combine_dense_welford
+                from .quadpotential import WelfordCovariance
+
+                pot = states.potential
+                C = states.q.shape[0]
+                c_fg = dense_welford[0]  # chunk-start pooled fg mean
+                Wf, Mf, Rf = combine_dense_welford(
+                    outs["dense_fg_w"], outs["dense_fg_mean"],
+                    outs["dense_fg_raw"], c_fg)
+                Wb, Mb, Rb = combine_dense_welford(
+                    outs["dense_bg_w"], outs["dense_bg_mean"],
+                    outs["dense_bg_raw"], c_fg)
+                # boundary metric refresh: the pooled covariance estimator
+                # (cross_chain._pooled_cov: raw/(N-1)) + Cholesky, keeping
+                # the previous factor on a non-finite factorization
+                # (reference quadpotential.py:506-510)
+                cov_new = Rf / jnp.maximum(Wf - 1.0, 1.0)
+                chol_new = jnp.linalg.cholesky(cov_new)
+                ok = jnp.all(jnp.isfinite(chol_new))
+                bcast = lambda m: jnp.broadcast_to(m, (C,) + m.shape)
+                Cf = jnp.asarray(float(C), jnp.float32)
+                potential = pot.replace(
+                    cov=jnp.where(ok, bcast(cov_new), pot.cov),
+                    chol=jnp.where(ok, bcast(chol_new), pot.chol),
+                    chol_failed=pot.chol_failed | ~ok,
+                    # replicated representation of the pooled state: each
+                    # chain carries 1/C of the weight at the pooled mean —
+                    # Chan-combining C such rows reproduces the global
+                    # state exactly, so per-draw and fused engines interop
+                    fg=WelfordCovariance(n_samples=jnp.full((C,), Wf / Cf),
+                                         mean=bcast(Mf),
+                                         raw_cov=bcast(Rf / Cf)),
+                    bg=WelfordCovariance(n_samples=jnp.full((C,), Wb / Cf),
+                                         mean=bcast(Mb),
+                                         raw_cov=bcast(Rb / Cf)),
+                    n_samples=jnp.full((C,), outs["n_samples"].astype(jnp.int32)),
+                    prev_update=jnp.full((C,), outs["prev_update"].astype(jnp.int32)),
+                    window=jnp.full((C,), outs["window"].astype(jnp.int32)),
+                )
             else:
                 potential = states.potential
 

@@ -40,9 +40,18 @@ from .fused_nuts_pallas import (
     _B_PN,
     _B_PWIN,
     _N_SC_IN,
+    _N_WSC,
+    _W_BGW,
+    _W_FGW,
+    _W_NS,
+    _W_PU,
+    _W_WIN,
     _boxmuller_momentum,
     _da_update_cols,
     _dense_momentum,
+    _dense_welford_batch_add,
+    _dense_welford_swap_and_count,
+    _scalars_to_rows,
     _welford_update_rows,
 )
 from .hmc_trajectory_pallas import run_hmc_trajectory_values
@@ -80,12 +89,14 @@ def build_fused_hmc_op(
     pack: int = 1,
     collect_trace: bool = True,
     metric: str = "diag",
+    adapt_dense: bool = False,
 ):
     """Build the fused HMC runner for one phase (see module docstring).
 
     Same contract as :func:`.fused_nuts_pallas.build_fused_nuts_op`
     (including ``metric="dense"`` with the frozen shared covariance +
-    ``L^{-1}`` momentum transform), with HMC's stat streams (step_size,
+    ``L^{-1}`` momentum transform, and ``adapt_dense`` block-local
+    pooled-covariance adaptation), with HMC's stat streams (step_size,
     n_steps, accept, path_length, accepted, ...) in place of the tree
     stats.
     """
@@ -96,7 +107,11 @@ def build_fused_hmc_op(
     dense = metric == "dense"
     if dense and adapt_metric:
         raise ValueError("the fused HMC kernel adapts diagonal metrics "
-                         "only; dense metrics must be frozen")
+                         "per chain; dense adaptation must be pooled "
+                         "(adapt_dense) or frozen")
+    if adapt_dense and (not dense or not tuning or adapt_metric):
+        raise ValueError("adapt_dense requires metric='dense', tuning=True "
+                         "and per-chain adapt_metric=False")
     if dense and pack != 1:
         raise ValueError("lane packing requires a diagonal metric")
     if prng is None:
@@ -129,9 +144,14 @@ def build_fused_hmc_op(
 
     def kernel(seed_ref, *rest):
         linv0 = None
+        dwm0 = dwr0 = dbm0 = dbr0 = wscal0 = None
         if adapt_metric:
             q0, g0, sin, var0, fgm0, fgv0, bgm0, bgv0 = rest[:8]
             rest = rest[8:]
+        elif adapt_dense:
+            (q0, g0, sin, var0, linv0, dwm0, dwr0, dbm0, dbr0,
+             wscal0) = rest[:10]
+            rest = rest[10:]
         elif dense:
             q0, g0, sin, var0, linv0 = rest[:5]  # var0 = shared cov
             rest = rest[5:]
@@ -143,13 +163,19 @@ def build_fused_hmc_op(
         if adapt_metric:
             (tr_q, st, qf, gf, soutf, varf, fgmf, fgvf, bgmf, bgvf) = rest[:10]
             rest = rest[10:]
+        elif adapt_dense:
+            (tr_q, st, qf, gf, soutf, dwmf, dwrf, dbmf, dbrf,
+             wscf) = rest[:10]
+            rest = rest[10:]
         else:
             tr_q, st, qf, gf, soutf = rest[:5]
             rest = rest[5:]
         q_s, g_s, sa, sb, si = rest[:5]
-        wrows = rest[5:5 + n_wrows]
+        wrows = rest[5:]
         if adapt_metric:
             var_s, fgm_s, fgv_s, bgm_s, bgv_s = wrows
+        elif adapt_dense:
+            dwm_s, dwr_s, dbm_s, dbr_s, wsc = wrows
 
         i_blk = pl.program_id(0)
         t = pl.program_id(1)
@@ -191,6 +217,13 @@ def build_fused_hmc_op(
                 fgv_s[:] = fgv0[:]
                 bgm_s[:] = bgm0[:]
                 bgv_s[:] = bgv0[:]
+            if adapt_dense:
+                dwm_s[:] = dwm0[:]
+                dwr_s[:] = dwr0[:]
+                dbm_s[:] = dbm0[:]
+                dbr_s[:] = dbr0[:]
+                for _k in range(5):
+                    wsc[_k] = wscal0[_k]
 
         seed0 = seed_ref[0] + i_blk * 7919 + t * 15485863
         if prng == "tpu":
@@ -249,6 +282,11 @@ def build_fused_hmc_op(
             _welford_update_rows(lanes, q_sel, var_s, fgm_s, fgv_s,
                                  bgm_s, bgv_s, sac, set_sa, sbc, set_sb,
                                  mult)
+        if adapt_dense:
+            _dense_welford_batch_add(q_sel, dwm_s, dwr_s, wsc, _W_FGW)
+            _dense_welford_batch_add(q_sel, dbm_s, dbr_s, wsc, _W_BGW)
+            _dense_welford_swap_and_count(dwm_s, dwr_s, dbm_s, dbr_s,
+                                          wsc, mult)
 
         set_sa(_A_ITER, sac(_A_ITER) + 1.0)
         set_sa(_A_LP, lp_sel)
@@ -271,12 +309,22 @@ def build_fused_hmc_op(
                 fgvf[:] = fgv_s[:]
                 bgmf[:] = bgm_s[:]
                 bgvf[:] = bgv_s[:]
+            if adapt_dense:
+                dwmf.at[0][:] = dwm_s[:]
+                dwrf.at[0][:] = dwr_s[:]
+                dbmf.at[0][:] = dbm_s[:]
+                dbrf.at[0][:] = dbr_s[:]
+                wscf.at[0][:] = _scalars_to_rows(
+                    [wsc[_k] for _k in range(5)], 8, _LANE)
 
     def fused(q, grad, logp, iter_count, da_log_step, da_log_bar, da_hbar,
-              da_count, da_mu, var, welford, seed, linv=None):
+              da_count, da_mu, var, welford, seed, linv=None,
+              dense_welford=None):
         """Run T HMC transitions; same input contract as the NUTS fused op."""
         if dense and linv is None:
             raise ValueError("metric='dense' requires linv")
+        if adapt_dense and dense_welford is None:
+            raise ValueError("adapt_dense requires dense_welford")
         C = q.shape[0]
         CB = min(chain_block * K, C)
         while CB >= 1 and (C % CB or CB % K):

@@ -141,6 +141,99 @@ def _dense_momentum(lanes, uniform, linv):
                    preferred_element_type=jnp.float32)
 
 
+# SMEM scalar slots for the pooled-dense Welford state (block-local)
+_W_FGW, _W_BGW, _W_NS, _W_PU, _W_WIN = range(5)
+_N_WSC = 8
+
+
+def _tn_dot(a, b):
+    """``(R, N) x (R, M) -> (N, M)`` rows-contraction, exact f32.
+
+    The pooled-covariance accumulation: one MXU matmul per draw in place
+    of ``RW`` outer products. ``precision="highest"`` because bf16-
+    truncated inputs bias the variance estimate (measured 7% in round 1).
+    """
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision="highest", preferred_element_type=jnp.float32)
+
+
+def _dense_welford_batch_add(x, m_s, r_s, wsc, slot):
+    """Chan-combine a ``(RW, Npad)`` draw batch into one Welford window.
+
+    ``m_s`` is an ``(8, Npad)`` scratch whose row 0 holds the running
+    mean; ``r_s`` the ``(Npad, Npad)`` raw scatter ``Σ (x-m)(x-m)^T``;
+    ``wsc[slot]`` the weight. Exact batched form of ``RW`` sequential
+    ``WelfordCovariance.add_sample`` calls (quadpotential.py:162-172;
+    Chan et al. parallel combination): padding lanes stay zero because
+    ``x``'s and the seeds' padding lanes are zero.
+    """
+    RWf = float(x.shape[0])
+    W = wsc[slot]
+    Wn = W + RWf
+    xm = jnp.sum(x, axis=0, keepdims=True) * (1.0 / RWf)  # (1, Npad)
+    raw_b = _tn_dot(x - xm, x - xm)
+    d = xm - m_s[0:1, :]
+    m_s[0:1, :] = m_s[0:1, :] + d * (RWf / Wn)
+    r_s[:] = r_s[:] + raw_b + (W * RWf / Wn) * _tn_dot(d, d)
+    wsc[slot] = Wn
+
+
+def _dense_welford_swap_and_count(fgm_s, fgr_s, bgm_s, bgr_s, wsc, mult):
+    """Window bookkeeping after the adds (quadpotential.py:486-521).
+
+    The reference computes ``delta = n_samples - prev_update`` *before*
+    incrementing and swaps fg <- bg when ``delta >= window`` (after the
+    sample was added to both windows); the schedule is shared by every
+    chain under pooling, so one scalar decision moves the block-local
+    matrices.
+    """
+    ns = wsc[_W_NS]
+    swap = (ns - wsc[_W_PU]) >= wsc[_W_WIN]
+
+    @pl.when(swap)
+    def _swap():
+        fgm_s[:] = bgm_s[:]
+        fgr_s[:] = bgr_s[:]
+        bgm_s[:] = jnp.zeros_like(bgm_s)
+        bgr_s[:] = jnp.zeros_like(bgr_s)
+        wsc[_W_FGW] = wsc[_W_BGW]
+        wsc[_W_BGW] = 0.0
+        wsc[_W_PU] = ns
+        wsc[_W_WIN] = jnp.floor(wsc[_W_WIN] * mult)
+
+    wsc[_W_NS] = ns + 1.0
+
+
+def _scalars_to_rows(vals, rows, width):
+    """Spread a scalar list across lanes of row 0 of an ``(rows, width)``."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+    out = jnp.zeros((rows, width), jnp.float32)
+    for i, v in enumerate(vals):
+        out = jnp.where((lane == i) & (srow == 0), v, out)
+    return out
+
+
+def combine_dense_welford(W, m, r, center):
+    """Exactly combine stacked Welford states ``(B, ...)`` into one.
+
+    Sum-form centered at ``center`` (the chunk-start pooled mean, known
+    and identical everywhere), so the reduction is a plain sum — GSPMD
+    turns it into a psum over a sharded leading axis. Returns
+    ``(W_tot, mean, raw)``.
+    """
+    W_tot = jnp.sum(W)
+    d = m - center  # (B, n)
+    S1 = jnp.sum(W[:, None] * d, axis=0)
+    S2 = jnp.sum(r + W[:, None, None] * (d[:, :, None] * d[:, None, :]),
+                 axis=0)
+    mean = center + S1 / jnp.maximum(W_tot, 1e-30)
+    md = mean - center
+    raw = S2 - W_tot * jnp.outer(md, md)
+    return W_tot, mean, raw
+
+
 def _da_update_cols(sac, set_sa, mta, config):
     """On-core dual averaging (reference ``step_sizes.py:85-92``).
 
@@ -218,6 +311,7 @@ def build_fused_nuts_op(
     pack: int = 1,
     collect_trace: bool = True,
     metric: str = "diag",
+    adapt_dense: bool = False,
 ):
     """Build the fused runner ``fused(args...) -> dict`` for one phase.
 
@@ -232,6 +326,17 @@ def build_fused_nuts_op(
     ``adapt_metric``, the 8 Welford leaves + ``n_samples, window``;
     plus a ``(2,)`` int32 seed. Returns a dict with the ``(T, C, n)``
     trace, 13 ``(T, C)`` stat streams, and every updated state leaf.
+
+    ``adapt_dense`` (requires ``metric="dense"`` + ``tuning``): pooled
+    dense adaptation on core. Each grid block carries a block-local
+    pooled Welford covariance state in VMEM — seeded with 1/B of the
+    global pooled moments, updated per draw with one MXU rows-
+    contraction, window-swapped on core — and writes it out per block;
+    the caller Chan-combines blocks (and devices) exactly, so the
+    chunk-boundary pooled estimate equals a per-draw pooled engine's.
+    The *metric* (cov / ``L^{-1}``) stays frozen within the chunk —
+    Stan's boundary-cadence adaptation rather than the reference's
+    every-draw refresh; every chunk boundary re-synchronizes exactly.
     """
     if config.step_rand is not None:
         raise ValueError("the fused NUTS kernel does not support step_rand")
@@ -239,13 +344,14 @@ def build_fused_nuts_op(
         raise ValueError(f"unknown metric {metric!r}")
     dense = metric == "dense"
     if dense and adapt_metric:
-        # dense adaptation pools Welford moments across ALL chains with a
-        # per-draw cross-device psum the kernel cannot issue; the driver
-        # runs tune chunks on the per-draw path and fuses the (frozen-
-        # metric) draw phase instead.
+        # per-CHAIN dense adaptation has no VMEM-resident representation;
+        # pooled dense adaptation is adapt_dense (shared block state).
         raise ValueError("the fused NUTS kernel adapts diagonal metrics "
-                         "only; dense metrics must be frozen (draw phase "
-                         "or a static QuadPotentialFull)")
+                         "per chain; dense adaptation must be pooled "
+                         "(adapt_dense) or frozen (QuadPotentialFull)")
+    if adapt_dense and (not dense or not tuning or adapt_metric):
+        raise ValueError("adapt_dense requires metric='dense', tuning=True "
+                         "and per-chain adapt_metric=False")
     if dense and pack != 1:
         raise ValueError("lane packing requires a diagonal metric")
     if prng is None:
@@ -279,9 +385,14 @@ def build_fused_nuts_op(
 
     def kernel(seed_ref, *rest):
         linv0 = None
+        dwm0 = dwr0 = dbm0 = dbr0 = wscal0 = None
         if adapt_metric:
             q0, g0, sin, var0, fgm0, fgv0, bgm0, bgv0 = rest[:8]
             rest = rest[8:]
+        elif adapt_dense:
+            (q0, g0, sin, var0, linv0, dwm0, dwr0, dbm0, dbr0,
+             wscal0) = rest[:10]
+            rest = rest[10:]
         elif dense:
             q0, g0, sin, var0, linv0 = rest[:5]  # var0 = shared cov
             rest = rest[5:]
@@ -293,14 +404,20 @@ def build_fused_nuts_op(
         if adapt_metric:
             (tr_q, st, qf, gf, soutf, varf, fgmf, fgvf, bgmf, bgvf) = rest[:10]
             rest = rest[10:]
+        elif adapt_dense:
+            (tr_q, st, qf, gf, soutf, dwmf, dwrf, dbmf, dbrf,
+             wscf) = rest[:10]
+            rest = rest[10:]
         else:
             tr_q, st, qf, gf, soutf = rest[:5]
             rest = rest[5:]
         (l_q, l_p, l_g, r_q, r_p, r_g, c_q, c_p, c_g, pr_q, psum,
          sf, si, s_lp, s_rp, s_ps, s_q, q_s, g_s, sa, sb) = rest[:21]
-        wrows = rest[21:21 + n_wrows + (1 if adapt_metric else 0)]
+        wrows = rest[21:]
         if adapt_metric:
             var_s, fgm_s, fgv_s, bgm_s, bgv_s = wrows
+        elif adapt_dense:
+            dwm_s, dwr_s, dbm_s, dbr_s, wsc = wrows
 
         i_blk = pl.program_id(0)
         t = pl.program_id(1)
@@ -347,6 +464,13 @@ def build_fused_nuts_op(
                 fgv_s[:] = fgv0[:]
                 bgm_s[:] = bgm0[:]
                 bgv_s[:] = bgv0[:]
+            if adapt_dense:
+                dwm_s[:] = dwm0[:]
+                dwr_s[:] = dwr0[:]
+                dbm_s[:] = dbm0[:]
+                dbr_s[:] = dbr0[:]
+                for _k in range(5):
+                    wsc[_k] = wscal0[_k]
 
         # per-(block, draw) PRNG stream: both threefry words plus the
         # grid position folded in (t stride chosen so i/t mixes collide
@@ -437,6 +561,13 @@ def build_fused_nuts_op(
             _welford_update_rows(lanes, prop_q, var_s, fgm_s, fgv_s,
                                  bgm_s, bgv_s, sac, set_sa, sbc, set_sb,
                                  mult)
+        if adapt_dense:
+            # pooled dense Welford (quadpotential.py:486-521, block-local):
+            # add the draw batch to both windows, then the shared swap
+            _dense_welford_batch_add(prop_q, dwm_s, dwr_s, wsc, _W_FGW)
+            _dense_welford_batch_add(prop_q, dbm_s, dbr_s, wsc, _W_BGW)
+            _dense_welford_swap_and_count(dwm_s, dwr_s, dbm_s, dbr_s,
+                                          wsc, mult)
 
         # --- advance the chain state -------------------------------------
         set_sa(_A_ITER, sac(_A_ITER) + 1.0)
@@ -461,16 +592,33 @@ def build_fused_nuts_op(
                 fgvf[:] = fgv_s[:]
                 bgmf[:] = bgm_s[:]
                 bgvf[:] = bgv_s[:]
+            if adapt_dense:
+                dwmf.at[0][:] = dwm_s[:]
+                dwrf.at[0][:] = dwr_s[:]
+                dbmf.at[0][:] = dbm_s[:]
+                dbrf.at[0][:] = dbr_s[:]
+                wscf.at[0][:] = _scalars_to_rows(
+                    [wsc[_k] for _k in range(5)], 8, _LANE)
 
     def fused(q, grad, logp, iter_count, da_log_step, da_log_bar, da_hbar,
-              da_count, da_mu, var, welford, seed, linv=None):
+              da_count, da_mu, var, welford, seed, linv=None,
+              dense_welford=None):
         """Run T transitions. ``welford`` is None or the 10-tuple
         ``(fg_mean, fg_raw, fg_w, fg_w2, bg_mean, bg_raw, bg_w, bg_w2,
         n_samples, window)``. Dense metric: ``var`` is the shared
         ``(n, n)`` covariance and ``linv`` its inverse lower Cholesky
-        factor ``L^{-1}`` (momentum transform)."""
+        factor ``L^{-1}`` (momentum transform). ``dense_welford``
+        (required iff ``adapt_dense``) is the 9-tuple of *global pooled*
+        moments ``(fg_mean (n,), fg_raw (n, n), fg_w, bg_mean, bg_raw,
+        bg_w, n_samples, prev_update, window)`` — scalars as 0-d f32;
+        the result dict gains per-block states ``dense_fg_mean (B, n)``,
+        ``dense_fg_raw (B, n, n)``, ``dense_fg_w (B,)`` (+ bg) and the
+        shared counters ``n_samples, prev_update, window`` for the
+        caller to combine with :func:`combine_dense_welford`."""
         if dense and linv is None:
             raise ValueError("metric='dense' requires linv")
+        if adapt_dense and dense_welford is None:
+            raise ValueError("adapt_dense requires dense_welford")
         C = q.shape[0]
         CB = min(chain_block * K, C)
         while CB >= 1 and (C % CB or CB % K):
@@ -549,6 +697,31 @@ def build_fused_nuts_op(
             inputs += [pack_rows(fgm), pack_rows(fgv), pack_rows(bgm),
                        pack_rows(bgv)]
             in_specs += [row_in] * 4
+        B = (RT // RW)
+        if adapt_dense:
+            (dfm, dfr, dfw, dbm, dbr, dbw, dns, dpu, dwin) = dense_welford
+
+            def pad_mean_rows(v):  # (n,) -> (8, Npad), row 0
+                vp = jnp.pad(jnp.asarray(v, f32), (0, Npad - n))
+                return jnp.pad(vp[None, :], ((0, 7), (0, 0)))
+
+            mean_spec = pl.BlockSpec((8, Npad), lambda i, t: (0, 0),
+                                     memory_space=pltpu.VMEM)
+            # block-local seeds: 1/B of the global pooled state — the
+            # exact-combine identity Σ_b (state/B ⊕ samples_b) = state ⊕
+            # all samples makes per-block accumulation lossless
+            Bf = float(B)
+            inputs += [pad_mean_rows(dfm), pad_sq(dfr) / Bf,
+                       pad_mean_rows(dbm), pad_sq(dbr) / Bf,
+                       jnp.stack([jnp.asarray(dfw, f32) / Bf,
+                                  jnp.asarray(dbw, f32) / Bf,
+                                  jnp.asarray(dns, f32),
+                                  jnp.asarray(dpu, f32),
+                                  jnp.asarray(dwin, f32),
+                                  jnp.zeros((), f32), jnp.zeros((), f32),
+                                  jnp.zeros((), f32)])]
+            in_specs += [mean_spec, sq_spec, mean_spec, sq_spec,
+                         pl.BlockSpec(memory_space=pltpu.SMEM)]
         in_specs += const_specs
 
         out_shapes = [
@@ -562,6 +735,21 @@ def build_fused_nuts_op(
         if adapt_metric:
             out_shapes += [jax.ShapeDtypeStruct((RT, Npad), f32)] * 5
             out_specs += [row_in] * 5
+        if adapt_dense:
+            mean_out = pl.BlockSpec((1, 8, Npad), lambda i, t: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            sq_out = pl.BlockSpec((1, Npad, Npad), lambda i, t: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            lane_out = pl.BlockSpec((1, 8, _LANE), lambda i, t: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shapes += [
+                jax.ShapeDtypeStruct((B, 8, Npad), f32),     # fg mean
+                jax.ShapeDtypeStruct((B, Npad, Npad), f32),  # fg raw
+                jax.ShapeDtypeStruct((B, 8, Npad), f32),     # bg mean
+                jax.ShapeDtypeStruct((B, Npad, Npad), f32),  # bg raw
+                jax.ShapeDtypeStruct((B, 8, _LANE), f32),    # counters
+            ]
+            out_specs += [mean_out, sq_out, mean_out, sq_out, lane_out]
 
         scratch = (
             [pltpu.VMEM((RW, Npad), f32)] * 11       # transition rows
@@ -571,6 +759,9 @@ def build_fused_nuts_op(
             + [pltpu.VMEM((RW, Npad), f32)] * 2      # q_s, g_s
             + [pltpu.VMEM((RW, _LANE), f32)] * 2     # sa, sb
             + ([pltpu.VMEM((RW, Npad), f32)] * 5 if adapt_metric else [])
+            + ([pltpu.VMEM((8, Npad), f32), pltpu.VMEM((Npad, Npad), f32),
+                pltpu.VMEM((8, Npad), f32), pltpu.VMEM((Npad, Npad), f32),
+                pltpu.SMEM((_N_WSC,), f32)] if adapt_dense else [])
         )
 
         outs = pl.pallas_call(
@@ -636,6 +827,19 @@ def build_fused_nuts_op(
                 bg_w2=sc(soutf, 10),
                 n_samples=sc(soutf, 11),
                 window=sc(soutf, 12),
+            )
+        if adapt_dense:
+            dwmf, dwrf, dbmf, dbrf, wscf = outs[5:]
+            res.update(
+                dense_fg_mean=dwmf[:, 0, :n],          # (B, n)
+                dense_fg_raw=dwrf[:, :n, :n],          # (B, n, n)
+                dense_fg_w=wscf[:, 0, _W_FGW],         # (B,)
+                dense_bg_mean=dbmf[:, 0, :n],
+                dense_bg_raw=dbrf[:, :n, :n],
+                dense_bg_w=wscf[:, 0, _W_BGW],
+                n_samples=wscf[0, 0, _W_NS],           # shared counters
+                prev_update=wscf[0, 0, _W_PU],
+                window=wscf[0, 0, _W_WIN],
             )
         return res
 

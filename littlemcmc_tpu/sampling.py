@@ -1089,28 +1089,18 @@ def sample(
     # --- The compiled sampling program -----------------------------------
     # The pallas trajectory op (if any) must be shard_map-wrapped over a
     # multi-device mesh: GSPMD cannot auto-partition a pallas_call.
-    if fused_factory is None or cross_chain_adapt:
+    if fused_factory is None:
         # The per-draw kernel: the only engine when no fused factory
-        # applies, and the tune-phase engine under pooled *dense*
-        # adaptation (that fused factory declines tune chunks — the
-        # per-chain dense Welford state cannot live in VMEM, so its
-        # pooling psums run per draw in this kernel's epilogue). Pooled
-        # diag tune chunks fuse (per-chain updates on core, pooling at
-        # chunk boundaries), so this kernel stays cold there.
+        # applies. Every fusable configuration — including pooled diag
+        # (per-chain updates on core, pooling at chunk boundaries) and
+        # pooled dense (block-local pooled covariance on core, exact
+        # Chan combine + metric refresh at chunk boundaries) — runs
+        # every phase through the fused runner.
         kernel = step.build_kernel(logp_grad, mesh=mesh, chain_axis=chain_axis,
                                    pooled_metric=cross_chain_adapt,
                                    pallas_trajectory=resolved_pallas)
     else:
         kernel = None  # every chunk runs through the fused runner
-    if fused_factory is not None and kernel is not None:
-        base_factory = fused_factory
-
-        def fused_factory(chunk, tuning, collect):
-            runner = base_factory(chunk, tuning, collect)
-            if runner is None:
-                runner = _make_chunk_runner(kernel, chunk, tuning, collect,
-                                            cross_chain_adapt)
-            return runner
     collect_tune = not discard_tuned_samples
 
     if progressbar:

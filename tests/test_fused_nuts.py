@@ -352,25 +352,49 @@ def test_fused_static_dense_metric_e2e():
     assert not np.allclose(np.asarray(tr), np.asarray(tr_pd))
 
 
-def test_fused_pooled_dense_draw_phase_e2e():
-    """Pooled adapt_full: tune chunks run per-draw (cross-chain psums),
-    draw chunks run the fused dense kernel with the frozen pooled metric.
-    The adapted metric must still solve the correlated target."""
+def test_fused_pooled_dense_e2e():
+    """Pooled adapt_full: EVERY phase fused. Tune chunks carry a
+    block-local pooled covariance in VMEM and refresh the shared metric
+    at chunk boundaries; draw chunks run with the frozen pooled metric.
+    The adapted metric must solve the correlated target."""
     model = models.CorrelatedGaussian(5, rho=0.8, scale_range=(0.5, 2.0))
     step = lmc.NUTS(model_ndim=5,
                     pallas_trajectory=model.pallas_trajectory_spec(),
                     pallas_interpret=True)
-    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=5,
-                        chains=32, tune=400, draws=500, random_seed=9,
-                        step=step, progressbar=False,
-                        init="jitter+adapt_full", cross_chain_adapt=True,
-                        fuse_draws=True, progress_every=100)
+    tr, st, fs = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=5,
+                            chains=32, tune=400, draws=500, random_seed=9,
+                            step=step, progressbar=False,
+                            init="jitter+adapt_full", cross_chain_adapt=True,
+                            fuse_draws=True, progress_every=100,
+                            return_final_state=True)
     tr2 = np.asarray(tr).reshape(-1, 5)
     np.testing.assert_allclose(tr2.var(0), model.true_var, rtol=0.3)
     assert np.abs(tr2.mean(0)).max() < 0.2
     assert np.asarray(st["diverging"]).mean() < 0.02
     # adapted dense metric => shallow trees on a correlated target
     assert float(np.asarray(st["depth"])[:, -200:].mean()) <= 4.0
+    # the FUSED tune engine ran: its boundary refresh stores the pooled
+    # Welford state in replicated per-chain form (identical rows, weight
+    # W/C each) — the per-draw pooled engine keeps distinct per-chain
+    # accumulators, so identical rows prove the fused path was active
+    fgm = np.asarray(fs.potential.fg.mean)
+    np.testing.assert_array_equal(fgm, np.broadcast_to(fgm[0], fgm.shape))
+    cov = np.asarray(fs.potential.cov)
+    np.testing.assert_array_equal(cov, np.broadcast_to(cov[0], cov.shape))
+    # pooled-covariance bookkeeping is engine-independent: the summed fg
+    # weight after C chains x 400 tune draws must equal the per-draw
+    # pooled engine's (same deterministic window schedule)
+    _, _, fs_pd = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=5,
+                             chains=32, tune=400, draws=50, random_seed=9,
+                             step=step, progressbar=False,
+                             init="jitter+adapt_full", cross_chain_adapt=True,
+                             fuse_draws=False, progress_every=100,
+                             return_final_state=True)
+    np.testing.assert_allclose(
+        float(np.asarray(fs.potential.fg.n_samples).sum()),
+        float(np.asarray(fs_pd.potential.fg.n_samples).sum()), rtol=1e-6)
+    assert (np.asarray(fs.potential.n_samples)
+            == np.asarray(fs_pd.potential.n_samples)).all()
 
 
 def test_fused_pooled_diag_e2e():
@@ -462,6 +486,103 @@ def test_fused_dense_multi_block():
     assert not np.allclose(tr[:, 0], tr[:, 8])
     # every chain moved (nonzero acceptance across T draws)
     assert (np.abs(tr[-1] - np.asarray(q)).max(axis=1) > 0).all()
+
+
+def _replay_pooled_dense(dense_welford, trace, mult):
+    """Sequential pooled Welford bookkeeping in float64.
+
+    Every chain's accepted position joins BOTH global windows each draw
+    (the pooled form of reference ``quadpotential.py:486-521``), then the
+    shared window swap runs once per draw.
+    """
+    fgm, fgr, fgw, bgm, bgr, bgw, ns, pu, win = [
+        np.asarray(x, np.float64) for x in dense_welford]
+
+    def add(m, r, w, x):
+        w1 = w + 1.0
+        d = x - m
+        m1 = m + d / w1
+        return m1, r + np.outer(d, x - m1), w1
+
+    T, C, n = trace.shape
+    for t in range(T):
+        for c in range(C):
+            fgm, fgr, fgw = add(fgm, fgr, fgw, trace[t, c])
+            bgm, bgr, bgw = add(bgm, bgr, bgw, trace[t, c])
+        if ns - pu >= win:
+            fgm, fgr, fgw = bgm, bgr, bgw
+            bgm, bgr, bgw = np.zeros(n), np.zeros((n, n)), 0.0
+            pu = ns.copy()
+            win = np.floor(win * mult)
+        ns = ns + 1.0
+    return fgm, fgr, fgw, bgm, bgr, bgw, ns, pu, win
+
+
+def test_fused_pooled_dense_welford_matches_replay():
+    """adapt_dense: block-local pooled covariance accumulation in VMEM.
+
+    Combine the per-block kernel outputs (``combine_dense_welford``) and
+    require the result to equal a sequential pooled Welford replay of the
+    kernel's own trace — including a mid-chunk window swap — across two
+    grid blocks (block-local states seeded with 1/B of the global state).
+    """
+    from littlemcmc_tpu.ops.fused_nuts_pallas import combine_dense_welford
+
+    model = models.CorrelatedGaussian(4, rho=0.6, scale_range=(0.5, 2.0))
+    n = model.ndim
+    cov = jnp.asarray(model.cov, jnp.float32)
+    chol = jnp.linalg.cholesky(cov)
+    linv = jax.scipy.linalg.solve_triangular(chol, jnp.eye(n), lower=True)
+    cfg = NUTSConfig()
+    C, T, mult = 16, 8, 2.0
+    op = build_fused_nuts_op(model.pallas_trajectory_spec(), n, T,
+                             tuning=True, adapt_metric=False, config=cfg,
+                             window_multiplier=mult, interpret=True,
+                             chain_block=8,  # 2 blocks
+                             metric="dense", adapt_dense=True)
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(0.4 * rng.randn(C, n), jnp.float32)
+    lp, g = jax.vmap(model.logp_grad)(q)
+    A = rng.randn(n, 2 * n).astype(np.float32)
+    Bm = rng.randn(n, 2 * n).astype(np.float32)
+    f32 = jnp.float32
+    dense_welford = (
+        jnp.asarray(0.1 * rng.randn(n), f32),    # fg mean
+        jnp.asarray(A @ A.T, f32),               # fg raw scatter
+        jnp.asarray(12.0, f32),                  # fg weight
+        jnp.asarray(0.05 * rng.randn(n), f32),   # bg mean
+        jnp.asarray(0.25 * (Bm @ Bm.T), f32),    # bg raw scatter
+        jnp.asarray(6.0, f32),                   # bg weight
+        jnp.asarray(3.0, f32),                   # n_samples
+        jnp.asarray(0.0, f32),                   # prev_update
+        jnp.asarray(5.0, f32),                   # window -> swap at draw 2
+    )
+    step0 = np.float32(np.log(0.3))
+    out = op(q, g, lp, jnp.zeros(C), jnp.full(C, step0), jnp.full(C, step0),
+             jnp.zeros(C), jnp.ones(C), jnp.full(C, step0 + np.log(10.0)),
+             cov, None, jnp.asarray([11, 12], jnp.int32), linv=linv,
+             dense_welford=dense_welford)
+    # shared counters crossed the swap: pu latched at 5, window doubled
+    assert float(out["n_samples"]) == 3.0 + T
+    assert float(out["prev_update"]) == 5.0
+    assert float(out["window"]) == 10.0
+
+    trace = np.asarray(out["trace"], np.float64)
+    rfgm, rfgr, rfgw, rbgm, rbgr, rbgw, _, _, _ = _replay_pooled_dense(
+        dense_welford, trace, mult)
+    c_fg = dense_welford[0]
+    Wf, Mf, Rf = combine_dense_welford(out["dense_fg_w"],
+                                       out["dense_fg_mean"],
+                                       out["dense_fg_raw"], c_fg)
+    Wb, Mb, Rb = combine_dense_welford(out["dense_bg_w"],
+                                       out["dense_bg_mean"],
+                                       out["dense_bg_raw"], c_fg)
+    np.testing.assert_allclose(float(Wf), rfgw, rtol=1e-6)
+    np.testing.assert_allclose(float(Wb), rbgw, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(Mf), rfgm, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Rf), rfgr, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Mb), rbgm, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Rb), rbgr, rtol=1e-3, atol=1e-3)
 
 
 def test_fused_probe_interpret_mode():
