@@ -300,46 +300,57 @@ def build_fused_hmc_runner_factory(
     Metric support: diagonal — per-chain or pooled — every phase fused
     (pooled diag runs the exact per-chain Welford updates on core and
     pools the shared metric once per chunk boundary); static dense
-    ``QuadPotentialFull`` (every phase, momentum/velocity matmuls).
-    Pooled dense is not fusable for HMC — the per-draw Pallas HMC path
-    is diagonal-only, so there is no tune-phase engine to pair with.
+    ``QuadPotentialFull`` (every phase, momentum/velocity matmuls);
+    pooled dense (``pooled=True`` + ``QuadPotentialFullAdapt``): every
+    phase fused, block-local pooled covariance in VMEM with the exact
+    Chan combine + metric refresh at chunk boundaries (see the NUTS
+    factory).
     """
-    from .nuts import _fused_welford_tuple, _split_each
+    from .nuts import (_dense_boundary_potential, _fused_welford_tuple,
+                       _pool_dense_welford, _scale_dense_welford,
+                       _split_each)
     from .ops.fused_hmc_pallas import build_fused_hmc_op
     from .ops.nuts_trajectory_pallas import resolve_pack
     from .quadpotential import (QuadPotentialDiag, QuadPotentialDiagAdapt,
-                                QuadPotentialFull, WelfordVariance)
+                                QuadPotentialFull, QuadPotentialFullAdapt,
+                                WelfordVariance)
     from .step_sizes import DualAverageState
 
     diag_adapt = isinstance(potential_template, QuadPotentialDiagAdapt)
     diag_static = isinstance(potential_template, QuadPotentialDiag)
     dense_static = isinstance(potential_template, QuadPotentialFull)
-    if not (diag_adapt or diag_static or dense_static):
-        raise ValueError("the fused HMC kernel requires a diagonal metric "
-                         "or a static dense metric (QuadPotentialFull)")
-    metric = "dense" if dense_static else "diag"
+    dense_pooled = pooled and isinstance(potential_template,
+                                         QuadPotentialFullAdapt)
+    if not (diag_adapt or diag_static or dense_static or dense_pooled):
+        raise ValueError(
+            "the fused HMC kernel requires a diagonal metric, a static "
+            "dense metric (QuadPotentialFull), or a cross-chain pooled "
+            "adaptive metric")
+    dense = dense_static or dense_pooled
+    metric = "dense" if dense else "diag"
     # pooled diag keeps per-chain accumulators (parallel/cross_chain.py),
     # so tune chunks fuse with the exact per-chain updates on core and
     # pool once per chunk boundary — see the NUTS factory for details
     adapt_metric = diag_adapt
     window_multiplier = (potential_template.window_multiplier
-                         if adapt_metric else 1.0)
+                         if (adapt_metric or dense_pooled) else 1.0)
     pack = resolve_pack(trajectory_spec, model_ndim, local_chains) \
-        if not dense_static else 1
+        if not dense else 1
 
     @functools.lru_cache(maxsize=64)
     def factory(chunk: int, tuning: bool, collect: bool):
+        adapt_dense = bool(tuning) and dense_pooled
         op = build_fused_hmc_op(
             trajectory_spec, model_ndim, chunk, bool(tuning),
             adapt_metric, config, window_multiplier,
             interpret=interpret, pack=pack, collect_trace=bool(collect),
-            metric=metric,
+            metric=metric, adapt_dense=adapt_dense,
         )
 
-        def call_op(states: ChainState, seed):
+        def call_op(states: ChainState, seed, dense_welford=None):
             pot = states.potential
             linv = None
-            if dense_static:
+            if dense:
                 var = pot.cov[0]
                 linv = jax.scipy.linalg.solve_triangular(
                     pot.chol[0], jnp.eye(var.shape[0], dtype=var.dtype),
@@ -354,7 +365,7 @@ def build_fused_hmc_runner_factory(
                 states.iter_count.astype(jnp.float32),
                 states.da.log_step, states.da.log_bar, states.da.hbar,
                 states.da.count.astype(jnp.float32), states.da.mu,
-                var, welford, seed, linv=linv,
+                var, welford, seed, linv=linv, dense_welford=dense_welford,
             )
 
         if mesh is not None:
@@ -364,32 +375,44 @@ def build_fused_hmc_runner_factory(
             Pc = PartitionSpec(chain_axis)
             Pr = PartitionSpec()
 
-            def call_local(states, seed):
+            def call_local(states, seed, dense_welford=None):
                 dev = jax.lax.axis_index(chain_axis).astype(jnp.int32)
                 seed = seed + jnp.stack([dev * jnp.int32(1000003),
                                          jnp.int32(0)])
-                return call_op(states, seed)
+                return call_op(states, seed, dense_welford)
 
-            # per-draw streams are (T, C, ...): chain-sharded on axis 1
-            # (keyed by name; see the NUTS factory for why not shapes)
+            # per-draw streams are (T, C, ...): chain-sharded on axis 1;
+            # pooled-dense block states are device-stacked on axis 0 and
+            # the shared counters replicated (keyed by name; see the
+            # NUTS factory for why not shapes)
             _PER_DRAW = frozenset({"trace", "step_size", "step_size_bar", "n_steps", "accept", "diverging", "energy_error", "energy", "path_length", "accepted", "model_logp"})
+            _REPLICATED = frozenset({"n_samples", "prev_update", "window"}
+                                    if adapt_dense else ())
 
-            def sharded_call(states, seed):
+            def sharded_call(states, seed, dense_welford=None):
                 from jax.tree_util import tree_map_with_path
 
                 in_specs = (jax.tree.map(lambda _: Pc, states,
                                          is_leaf=lambda x: x is None), Pr)
-                out_shapes = jax.eval_shape(call_op, states, seed)
+                args = (states, seed)
+                if dense_welford is not None:
+                    nd = float(mesh.shape[chain_axis]
+                               if chain_axis in mesh.shape else mesh.size)
+                    dense_welford = _scale_dense_welford(dense_welford, nd)
+                    in_specs += (jax.tree.map(lambda _: Pr, dense_welford),)
+                    args += (dense_welford,)
+                out_shapes = jax.eval_shape(call_op, *args)
                 out_specs = tree_map_with_path(
                     lambda path, sh: (PartitionSpec(None, chain_axis)
                                       if str(path[0].key) in _PER_DRAW
+                                      else Pr if str(path[0].key) in _REPLICATED
                                       else Pc),
                     out_shapes,
                 )
                 return shard_map(
                     call_local, mesh=mesh, in_specs=in_specs,
                     out_specs=out_specs, check_vma=False,
-                )(states, seed)
+                )(*args)
 
             runner_call = sharded_call
         else:
@@ -399,7 +422,12 @@ def build_fused_hmc_runner_factory(
         def run_chunk(states: ChainState):
             key_next, k_seed = _split_each(states.rng_key, 2)
             seed = jax.random.key_data(k_seed)[0].astype(jnp.int32)
-            outs = runner_call(states, seed)
+            dense_welford = (_pool_dense_welford(states.potential)
+                             if adapt_dense else None)
+            if dense_welford is not None:
+                outs = runner_call(states, seed, dense_welford)
+            else:
+                outs = runner_call(states, seed)
 
             da = DualAverageState(
                 log_step=outs["da_log_step"],
@@ -428,6 +456,10 @@ def build_fused_hmc_runner_factory(
 
                     potential = cross_chain_potential_pool(
                         potential, jnp.asarray(True))
+            elif adapt_dense:
+                potential = _dense_boundary_potential(
+                    states.potential, outs, dense_welford[0],
+                    states.q.shape[0])
             else:
                 potential = states.potential
 

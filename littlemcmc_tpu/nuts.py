@@ -916,6 +916,59 @@ def _pool_dense_welford(pot):
             pot.window[0].astype(f32))
 
 
+def _scale_dense_welford(dense_welford, n_devices):
+    """Pre-scale the extensive leaves of the pooled-dense Welford tuple.
+
+    The fused kernel seeds each of its LOCAL B blocks with 1/B of the
+    state it receives; with D devices the exact-combine identity needs
+    1/(D*B) per block, so the sharded caller scales the raw scatters and
+    weights (means and counters are intensive) by 1/D first.
+    """
+    dw = list(dense_welford)
+    for i in (1, 2, 4, 5):  # fg_raw, fg_w, bg_raw, bg_w
+        dw[i] = dw[i] / n_devices
+    return tuple(dw)
+
+
+def _dense_boundary_potential(pot, outs, c_fg, C):
+    """Chunk-boundary pooled-dense metric refresh from fused outputs.
+
+    Chan-combines the per-block (and, under GSPMD, per-device) Welford
+    states the fused kernel wrote, refreshes the shared metric with the
+    pooled covariance estimator (``cross_chain._pooled_cov``: raw/(N-1))
+    + Cholesky — keeping the previous factor on a non-finite
+    factorization (reference ``quadpotential.py:506-510``) — and stores
+    the pooled state in replicated per-chain form: each chain carries
+    1/C of the weight at the pooled mean, so Chan-combining C such rows
+    reproduces the global state exactly and the per-draw and fused
+    engines interoperate mid-run.
+    """
+    from .ops.fused_nuts_pallas import combine_dense_welford
+    from .quadpotential import WelfordCovariance
+
+    Wf, Mf, Rf = combine_dense_welford(
+        outs["dense_fg_w"], outs["dense_fg_mean"], outs["dense_fg_raw"], c_fg)
+    Wb, Mb, Rb = combine_dense_welford(
+        outs["dense_bg_w"], outs["dense_bg_mean"], outs["dense_bg_raw"], c_fg)
+    cov_new = Rf / jnp.maximum(Wf - 1.0, 1.0)
+    chol_new = jnp.linalg.cholesky(cov_new)
+    ok = jnp.all(jnp.isfinite(chol_new))
+    bcast = lambda m: jnp.broadcast_to(m, (C,) + m.shape)
+    Cf = jnp.asarray(float(C), jnp.float32)
+    return pot.replace(
+        cov=jnp.where(ok, bcast(cov_new), pot.cov),
+        chol=jnp.where(ok, bcast(chol_new), pot.chol),
+        chol_failed=pot.chol_failed | ~ok,
+        fg=WelfordCovariance(n_samples=jnp.full((C,), Wf / Cf),
+                             mean=bcast(Mf), raw_cov=bcast(Rf / Cf)),
+        bg=WelfordCovariance(n_samples=jnp.full((C,), Wb / Cf),
+                             mean=bcast(Mb), raw_cov=bcast(Rb / Cf)),
+        n_samples=jnp.full((C,), outs["n_samples"].astype(jnp.int32)),
+        prev_update=jnp.full((C,), outs["prev_update"].astype(jnp.int32)),
+        window=jnp.full((C,), outs["window"].astype(jnp.int32)),
+    )
+
+
 def build_fused_nuts_runner_factory(
     config: NUTSConfig,
     trajectory_spec,
@@ -1060,17 +1113,9 @@ def build_fused_nuts_runner_factory(
                                          is_leaf=lambda x: x is None), Pr)
                 args = (states, seed)
                 if dense_welford is not None:
-                    # The kernel seeds each of its LOCAL B blocks with
-                    # 1/B of the state it receives; with D devices the
-                    # exact-combine identity needs 1/(D*B) per block, so
-                    # pre-scale the extensive leaves (raw scatter +
-                    # weights; means and counters are intensive) by 1/D.
                     nd = float(mesh.shape[chain_axis]
                                if chain_axis in mesh.shape else mesh.size)
-                    dw = list(dense_welford)
-                    for _i in (1, 2, 4, 5):  # fg_raw, fg_w, bg_raw, bg_w
-                        dw[_i] = dw[_i] / nd
-                    dense_welford = tuple(dw)
+                    dense_welford = _scale_dense_welford(dense_welford, nd)
                     in_specs += (jax.tree.map(lambda _: Pr, dense_welford),)
                     args += (dense_welford,)
                 out_shapes = jax.eval_shape(call_op, *args)
@@ -1132,45 +1177,9 @@ def build_fused_nuts_runner_factory(
                     potential = cross_chain_potential_pool(
                         potential, jnp.asarray(True))
             elif adapt_dense:
-                from .ops.fused_nuts_pallas import combine_dense_welford
-                from .quadpotential import WelfordCovariance
-
-                pot = states.potential
-                C = states.q.shape[0]
-                c_fg = dense_welford[0]  # chunk-start pooled fg mean
-                Wf, Mf, Rf = combine_dense_welford(
-                    outs["dense_fg_w"], outs["dense_fg_mean"],
-                    outs["dense_fg_raw"], c_fg)
-                Wb, Mb, Rb = combine_dense_welford(
-                    outs["dense_bg_w"], outs["dense_bg_mean"],
-                    outs["dense_bg_raw"], c_fg)
-                # boundary metric refresh: the pooled covariance estimator
-                # (cross_chain._pooled_cov: raw/(N-1)) + Cholesky, keeping
-                # the previous factor on a non-finite factorization
-                # (reference quadpotential.py:506-510)
-                cov_new = Rf / jnp.maximum(Wf - 1.0, 1.0)
-                chol_new = jnp.linalg.cholesky(cov_new)
-                ok = jnp.all(jnp.isfinite(chol_new))
-                bcast = lambda m: jnp.broadcast_to(m, (C,) + m.shape)
-                Cf = jnp.asarray(float(C), jnp.float32)
-                potential = pot.replace(
-                    cov=jnp.where(ok, bcast(cov_new), pot.cov),
-                    chol=jnp.where(ok, bcast(chol_new), pot.chol),
-                    chol_failed=pot.chol_failed | ~ok,
-                    # replicated representation of the pooled state: each
-                    # chain carries 1/C of the weight at the pooled mean —
-                    # Chan-combining C such rows reproduces the global
-                    # state exactly, so per-draw and fused engines interop
-                    fg=WelfordCovariance(n_samples=jnp.full((C,), Wf / Cf),
-                                         mean=bcast(Mf),
-                                         raw_cov=bcast(Rf / Cf)),
-                    bg=WelfordCovariance(n_samples=jnp.full((C,), Wb / Cf),
-                                         mean=bcast(Mb),
-                                         raw_cov=bcast(Rb / Cf)),
-                    n_samples=jnp.full((C,), outs["n_samples"].astype(jnp.int32)),
-                    prev_update=jnp.full((C,), outs["prev_update"].astype(jnp.int32)),
-                    window=jnp.full((C,), outs["window"].astype(jnp.int32)),
-                )
+                potential = _dense_boundary_potential(
+                    states.potential, outs, dense_welford[0],
+                    states.q.shape[0])
             else:
                 potential = states.potential
 

@@ -403,6 +403,30 @@ def build_fused_hmc_op(
             inputs += [pack_rows(fgm), pack_rows(fgv), pack_rows(bgm),
                        pack_rows(bgv)]
             in_specs += [row_in] * 4
+        B = (RT // RW)
+        if adapt_dense:
+            (dfm, dfr, dfw, dbm, dbr, dbw, dns, dpu, dwin) = dense_welford
+
+            def pad_mean_rows(v):  # (n,) -> (8, Npad), row 0
+                vp = jnp.pad(jnp.asarray(v, f32), (0, Npad - n))
+                return jnp.pad(vp[None, :], ((0, 7), (0, 0)))
+
+            mean_spec = pl.BlockSpec((8, Npad), lambda i, t: (0, 0),
+                                     memory_space=pltpu.VMEM)
+            # block-local seeds: 1/B of the global pooled state (see the
+            # NUTS fused op — the exact-combine identity)
+            Bf = float(B)
+            inputs += [pad_mean_rows(dfm), pad_sq(dfr) / Bf,
+                       pad_mean_rows(dbm), pad_sq(dbr) / Bf,
+                       jnp.stack([jnp.asarray(dfw, f32) / Bf,
+                                  jnp.asarray(dbw, f32) / Bf,
+                                  jnp.asarray(dns, f32),
+                                  jnp.asarray(dpu, f32),
+                                  jnp.asarray(dwin, f32),
+                                  jnp.zeros((), f32), jnp.zeros((), f32),
+                                  jnp.zeros((), f32)])]
+            in_specs += [mean_spec, sq_spec, mean_spec, sq_spec,
+                         pl.BlockSpec(memory_space=pltpu.SMEM)]
         in_specs += const_specs
 
         out_shapes = [
@@ -416,12 +440,30 @@ def build_fused_hmc_op(
         if adapt_metric:
             out_shapes += [jax.ShapeDtypeStruct((RT, Npad), f32)] * 5
             out_specs += [row_in] * 5
+        if adapt_dense:
+            mean_out = pl.BlockSpec((1, 8, Npad), lambda i, t: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            sq_out = pl.BlockSpec((1, Npad, Npad), lambda i, t: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            lane_out = pl.BlockSpec((1, 8, _LANE), lambda i, t: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shapes += [
+                jax.ShapeDtypeStruct((B, 8, Npad), f32),     # fg mean
+                jax.ShapeDtypeStruct((B, Npad, Npad), f32),  # fg raw
+                jax.ShapeDtypeStruct((B, 8, Npad), f32),     # bg mean
+                jax.ShapeDtypeStruct((B, Npad, Npad), f32),  # bg raw
+                jax.ShapeDtypeStruct((B, 8, _LANE), f32),    # counters
+            ]
+            out_specs += [mean_out, sq_out, mean_out, sq_out, lane_out]
 
         scratch = (
             [pltpu.VMEM((RW, Npad), f32)] * 2        # q_s, g_s
             + [pltpu.VMEM((RW, _LANE), f32)] * 2     # sa, sb
             + [pltpu.VMEM((RW, _LANE), jnp.int32)]   # si (counter PRNG)
             + ([pltpu.VMEM((RW, Npad), f32)] * 5 if adapt_metric else [])
+            + ([pltpu.VMEM((8, Npad), f32), pltpu.VMEM((Npad, Npad), f32),
+                pltpu.VMEM((8, Npad), f32), pltpu.VMEM((Npad, Npad), f32),
+                pltpu.SMEM((_N_WSC,), f32)] if adapt_dense else [])
         )
 
         outs = pl.pallas_call(
@@ -486,6 +528,19 @@ def build_fused_hmc_op(
                 bg_w2=sc(soutf, 10),
                 n_samples=sc(soutf, 11),
                 window=sc(soutf, 12),
+            )
+        if adapt_dense:
+            dwmf, dwrf, dbmf, dbrf, wscf = outs[5:]
+            res.update(
+                dense_fg_mean=dwmf[:, 0, :n],          # (B, n)
+                dense_fg_raw=dwrf[:, :n, :n],          # (B, n, n)
+                dense_fg_w=wscf[:, 0, _W_FGW],         # (B,)
+                dense_bg_mean=dbmf[:, 0, :n],
+                dense_bg_raw=dbrf[:, :n, :n],
+                dense_bg_w=wscf[:, 0, _W_BGW],
+                n_samples=wscf[0, 0, _W_NS],           # shared counters
+                prev_update=wscf[0, 0, _W_PU],
+                window=wscf[0, 0, _W_WIN],
             )
         return res
 

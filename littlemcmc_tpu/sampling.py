@@ -157,7 +157,9 @@ class NUTS(_StepSpec):
 
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
                      chain_axis: str = "chains", pooled_metric: bool = False,
-                     pallas_trajectory=_PALLAS_UNSET):
+                     pallas_trajectory=_PALLAS_UNSET,
+                     dense_metric: bool = False):
+        del dense_metric  # the NUTS pallas path resolves dense internally
         spec = (self.pallas_trajectory if pallas_trajectory is _PALLAS_UNSET
                 else pallas_trajectory)
         if isinstance(spec, str):  # unresolved "auto": XLA tree
@@ -233,11 +235,23 @@ class HamiltonianMC(_StepSpec):
 
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
                      chain_axis: str = "chains", pooled_metric: bool = False,
-                     pallas_trajectory=_PALLAS_UNSET):
-        del pooled_metric  # HMC has no pooled-dense pallas path
+                     pallas_trajectory=_PALLAS_UNSET,
+                     dense_metric: bool = False):
+        del pooled_metric  # per-draw HMC pooling runs in the XLA epilogue
         spec = (self.pallas_trajectory if pallas_trajectory is _PALLAS_UNSET
                 else pallas_trajectory)
         if isinstance(spec, str):  # unresolved "auto": XLA tree
+            spec = None
+        if spec is not None and (
+                dense_metric
+                or isinstance(self.potential, (QuadPotentialFull,
+                                               QuadPotentialFullAdapt))):
+            # the per-draw Pallas HMC trajectory is diagonal-only; dense
+            # metrics run the vmap XLA path (the FUSED engine covers the
+            # dense fast paths)
+            _log.info("Dense metric: the per-draw HMC path uses the XLA "
+                      "trajectory (the Pallas per-draw path is diagonal-"
+                      "only; dense fast paths run via fuse_draws).")
             spec = None
         return build_hmc_kernel(
             logp_grad_fn, self.config, spec, mesh,
@@ -1045,11 +1059,6 @@ def sample(
         dense_ok = (isinstance(pot_template, QuadPotentialFull)
                     or (bool(cross_chain_adapt)
                         and isinstance(pot_template, QuadPotentialFullAdapt)))
-        if isinstance(step, HamiltonianMC):
-            # pooled dense is NUTS-only: the per-draw Pallas HMC path is
-            # diagonal-only, so pooled-dense tune chunks would have no
-            # engine to fall back to
-            dense_ok = isinstance(pot_template, QuadPotentialFull)
         # Auto mode consults the Mosaic capability probe (one-time, cached)
         # so an on-chip lowering regression degrades to the per-draw engine
         # instead of crashing the first fused chunk; an explicit
@@ -1080,10 +1089,10 @@ def sample(
         raise ValueError(
             "fuse_draws=True but the fused multi-draw kernel is unavailable "
             "for this configuration: it requires a Pallas trajectory spec, a "
-            "NUTS/HamiltonianMC step with no step_rand hook, a diagonal or "
-            "dense metric (per-chain adaptive dense excluded; pooled dense "
-            "is NUTS-only), no model_axis, and a lane-packable per-device "
-            "chain count (>= 8 chains per device)."
+            "NUTS/HamiltonianMC step with no step_rand hook, a diagonal, "
+            "static dense, or pooled adaptive dense metric (per-chain "
+            "adaptive dense excluded), no model_axis, and a lane-packable "
+            "per-device chain count (>= 8 chains per device)."
         )
 
     # --- The compiled sampling program -----------------------------------
@@ -1096,9 +1105,14 @@ def sample(
         # pooled dense (block-local pooled covariance on core, exact
         # Chan combine + metric refresh at chunk boundaries) — runs
         # every phase through the fused runner.
-        kernel = step.build_kernel(logp_grad, mesh=mesh, chain_axis=chain_axis,
-                                   pooled_metric=cross_chain_adapt,
-                                   pallas_trajectory=resolved_pallas)
+        kernel = step.build_kernel(
+            logp_grad, mesh=mesh, chain_axis=chain_axis,
+            pooled_metric=cross_chain_adapt,
+            pallas_trajectory=resolved_pallas,
+            dense_metric=bool(
+                full or isinstance(step.potential, (QuadPotentialFull,
+                                                    QuadPotentialFullAdapt))),
+        )
     else:
         kernel = None  # every chunk runs through the fused runner
     collect_tune = not discard_tuned_samples

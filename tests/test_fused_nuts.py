@@ -455,6 +455,36 @@ def test_fused_hmc_pooled_diag_e2e():
     assert np.all(np.abs(tr2.var(0) - 1.0) < 0.25)
 
 
+def test_fused_hmc_pooled_dense_e2e():
+    """Pooled adapt_full through the fused HMC kernel: tune chunks carry
+    the block-local pooled covariance (shared with the NUTS kernel),
+    draw chunks run with the frozen pooled metric. The per-draw
+    cross-check also covers the dense fallback: with fuse_draws=False
+    the per-draw HMC path must drop to the XLA trajectory (the per-draw
+    Pallas HMC path is diagonal-only) instead of erroring."""
+    model = models.CorrelatedGaussian(4, rho=0.7, scale_range=(0.5, 2.0))
+    step = lmc.HamiltonianMC(model_ndim=4, path_length=2.0,
+                             pallas_trajectory=model.pallas_trajectory_spec(),
+                             pallas_interpret=True)
+    kwargs = dict(
+        logp_dlogp_func=model.logp_grad, model_ndim=4, chains=32,
+        tune=400, draws=400, random_seed=31, step=step, progressbar=False,
+        init="jitter+adapt_full", cross_chain_adapt=True,
+        progress_every=100, return_final_state=True,
+    )
+    tr, st, fs = lmc.sample(fuse_draws=True, **kwargs)
+    tr2 = np.asarray(tr).reshape(-1, 4)
+    np.testing.assert_allclose(tr2.var(0), model.true_var, rtol=0.35)
+    assert np.abs(tr2.mean(0)).max() < 0.25
+    cov = np.asarray(fs.potential.cov)
+    np.testing.assert_array_equal(cov, np.broadcast_to(cov[0], cov.shape))
+    # engine-independent weight bookkeeping vs the per-draw pooled engine
+    _, _, fs_pd = lmc.sample(fuse_draws=False, **{**kwargs, "draws": 40})
+    np.testing.assert_allclose(
+        float(np.asarray(fs.potential.fg.n_samples).sum()),
+        float(np.asarray(fs_pd.potential.fg.n_samples).sum()), rtol=1e-6)
+
+
 def test_fused_dense_multi_block():
     """Dense fused op with chains split over multiple grid blocks: the
     shared (Npad, Npad) cov/L^-1 blocks are re-read per block and the

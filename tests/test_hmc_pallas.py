@@ -95,18 +95,20 @@ def test_interpret_hmc_composes_with_mesh():
 
 
 def test_pallas_hmc_dense_metric_paths():
-    """The *per-draw* Pallas HMC engine is diagonal-only; a static dense
-    metric must raise there (fuse_draws=False) — but the fused engine
-    (round 3) runs it, so the default auto path now samples."""
+    """The *per-draw* Pallas HMC engine is diagonal-only; with a dense
+    metric the per-draw path (fuse_draws=False) drops the trajectory
+    spec and runs the XLA trajectory instead of erroring, while the
+    default auto path runs the fused dense engine."""
     m = models.CorrelatedGaussian(8)
     pot = lmc.QuadPotentialFull.create(jnp.asarray(m.cov, jnp.float32))
     step = lmc.HamiltonianMC(model_ndim=8, potential=pot,
                              pallas_trajectory=m.pallas_trajectory_spec(),
                              pallas_interpret=True)
-    with pytest.raises(ValueError, match="diagonal metric"):
-        lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=8, chains=8,
-                   tune=4, draws=4, random_seed=0, step=step,
-                   progressbar=False, fuse_draws=False)
+    tr_pd, _ = lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=8,
+                          chains=8, tune=4, draws=4, random_seed=0,
+                          step=step, progressbar=False, fuse_draws=False)
+    assert np.asarray(tr_pd).shape == (8, 4, 8)
+    assert np.isfinite(np.asarray(tr_pd)).all()
     tr, _ = lmc.sample(logp_dlogp_func=m.logp_grad, model_ndim=8, chains=8,
                        tune=8, draws=8, random_seed=0, step=step,
                        progressbar=False)  # auto: fused dense engine
