@@ -42,7 +42,41 @@ def _baseline_ess_per_sec() -> float:
         return _FALLBACK_BASELINE_ESS_PER_SEC
 
 
+def _backend_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe the default JAX backend in a subprocess with a hard timeout.
+
+    The tunneled TPU backend here can hang *indefinitely* (not error)
+    when the relay's far side dies; a hung bench would record nothing at
+    all. A subprocess is the only reliable guard — an in-process thread
+    stuck in the PJRT RPC cannot be cancelled.
+    """
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
+            "(x @ x).block_until_ready(); print('BENCH_BACKEND_OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return "BENCH_BACKEND_OK" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    if not _backend_reachable():
+        # No measurement is possible; say so instead of hanging forever.
+        print(json.dumps({
+            "metric": "min_bulk_ess_per_sec_corr_gaussian_100d_1024chains",
+            "value": 0.0,
+            "unit": "ESS/s",
+            "vs_baseline": 0.0,
+            "error": ("JAX backend unreachable within 240s (TPU tunnel "
+                      "down) — no measurement possible this run; see "
+                      "BENCH_r02.json for the last recorded on-chip "
+                      "result"),
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
