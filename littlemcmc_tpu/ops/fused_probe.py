@@ -8,8 +8,11 @@ cannot validate for the real TPU lowering:
    evaluates ``jnp.cos`` on f32 vectors.
 2. Grid scratch persistence — chain state lives in VMEM scratch across
    the ``T`` sequential grid steps of one ``pallas_call``.
+3. (pooled-dense adaptation) f32 SMEM scalar scratch read/modify/write
+   plus a rows-contraction ``dot_general`` accumulating into VMEM
+   scratch — the block-local pooled-covariance update.
 
-:func:`fused_engine_supported` compiles and runs two tiny probe kernels
+:func:`fused_engine_supported` compiles and runs these tiny probe kernels
 once per process (cached per backend) and reports whether both behave
 correctly. The driver consults it when *auto-selecting* the fused
 engine (``sample(fuse_draws=None)``) on a real TPU backend, so a Mosaic
@@ -30,7 +33,8 @@ _log = logging.getLogger("littlemcmc_tpu")
 
 _CACHE: dict = {}
 
-__all__ = ["fused_engine_supported", "probe_cos", "probe_grid_scratch"]
+__all__ = ["fused_engine_supported", "probe_cos", "probe_grid_scratch",
+           "probe_smem_accumulate"]
 
 
 def probe_cos(interpret: bool = False) -> bool:
@@ -96,6 +100,63 @@ def probe_grid_scratch(interpret: bool = False) -> bool:
     return bool(np.allclose(np.asarray(out), expect))
 
 
+def probe_smem_accumulate(interpret: bool = False) -> bool:
+    """f32 SMEM scalar scratch + rows-contraction accumulate into VMEM.
+
+    The adapt_dense constructs: ``wsc[slot]`` scalar read/modify/write in
+    SMEM across grid steps, and an exact-f32 ``dot_general`` contracting
+    the row axis ``(R, N) x (R, N) -> (N, N)`` accumulated into an
+    ``(N, N)`` VMEM scratch (the pooled-covariance update of
+    :func:`.fused_nuts_pallas._dense_welford_batch_add`).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, R, N = 5, 8, 128
+
+    def kernel(x_ref, o_ref, c_ref, acc_ref, wsc):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            wsc[0] = 1.0
+
+        x = x_ref[:] * wsc[0]
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            x, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision="highest", preferred_element_type=jnp.float32)
+        wsc[0] = wsc[0] + 1.0
+
+        @pl.when(t == T - 1)
+        def _():
+            o_ref[:] = acc_ref[:]
+            c_ref[0, 0] = wsc[0]
+
+    x = np.linspace(-1, 1, R * N, dtype=np.float32).reshape(R, N)
+    out, cnt = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((R, N), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((N, N), lambda t: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((N, N), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32),
+                        pltpu.SMEM((4,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x)
+    expect = sum((x * w) .T @ (x * w) for w in range(1, T + 1))
+    return (bool(np.allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-4))
+            and float(np.asarray(cnt)[0, 0]) == float(T + 1))
+
+
 def fused_engine_supported(interpret: bool = False) -> bool:
     """True iff the fused kernels' Mosaic dependencies hold on this backend.
 
@@ -111,7 +172,8 @@ def fused_engine_supported(interpret: bool = False) -> bool:
     key = (jax.default_backend(), interpret)
     if key not in _CACHE:
         try:
-            ok = probe_cos(interpret) and probe_grid_scratch(interpret)
+            ok = (probe_cos(interpret) and probe_grid_scratch(interpret)
+                  and probe_smem_accumulate(interpret))
         except Exception as e:  # Mosaic lowering / runtime failure
             _log.info("Fused-engine probe failed to compile/run (%s: %s)",
                       type(e).__name__, e)

@@ -25,14 +25,24 @@ INTERPRET = "--interpret" in sys.argv
 def main():
     import jax
 
-    from littlemcmc_tpu.ops.fused_probe import probe_cos, probe_grid_scratch
+    if INTERPRET:
+        # validate the probe logic itself without touching the (possibly
+        # tunneled, possibly dead) default backend
+        jax.config.update("jax_platforms", "cpu")
+
+    from littlemcmc_tpu.ops.fused_probe import (probe_cos,
+                                                probe_grid_scratch,
+                                                probe_smem_accumulate)
 
     print("backend:", jax.default_backend(), jax.devices())
     ok_cos = probe_cos(INTERPRET)
     print("cos/sin lowering:", "OK" if ok_cos else "FAIL")
     ok_scratch = probe_grid_scratch(INTERPRET)
     print("grid scratch persistence:", "OK" if ok_scratch else "FAIL")
-    sys.exit(0 if (ok_cos and ok_scratch) else 1)
+    ok_smem = probe_smem_accumulate(INTERPRET)
+    print("SMEM f32 scalars + rows-contraction accumulate:",
+          "OK" if ok_smem else "FAIL")
+    sys.exit(0 if (ok_cos and ok_scratch and ok_smem) else 1)
 
 
 if __name__ == "__main__":

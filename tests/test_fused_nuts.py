@@ -518,6 +518,51 @@ def test_fused_dense_multi_block():
     assert (np.abs(tr[-1] - np.asarray(q)).max(axis=1) > 0).all()
 
 
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled (Mosaic) fused kernels need real TPU; CPU runs the "
+           "interpret-mode tests above",
+)
+
+
+@requires_tpu
+def test_tpu_fused_pooled_dense_mosaic():
+    """Compiled adapt_dense NUTS kernel on chip (fuse_draws=True pins the
+    Mosaic lowering of the block-local pooled covariance — MXU rows-
+    contractions, SMEM f32 counter scratch, per-block output writes —
+    instead of letting a probe failure silently fall back)."""
+    model = models.CorrelatedGaussian(8, rho=0.6, scale_range=(0.5, 2.0))
+    step = lmc.NUTS(model_ndim=8,
+                    pallas_trajectory=model.pallas_trajectory_spec())
+    tr, st, fs = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=8,
+                            chains=256, tune=300, draws=300, random_seed=41,
+                            step=step, progressbar=False,
+                            init="jitter+adapt_full", cross_chain_adapt=True,
+                            fuse_draws=True, return_final_state=True)
+    tr2 = np.asarray(tr).reshape(-1, 8)
+    vr = tr2.var(0) / model.true_var
+    assert vr.min() > 0.8 and vr.max() < 1.25, vr
+    assert np.asarray(st["diverging"]).mean() < 0.01
+    cov = np.asarray(fs.potential.cov)
+    np.testing.assert_array_equal(cov, np.broadcast_to(cov[0], cov.shape))
+
+
+@requires_tpu
+def test_tpu_fused_hmc_pooled_dense_mosaic():
+    """Compiled adapt_dense HMC kernel on chip (see the NUTS twin)."""
+    model = models.CorrelatedGaussian(8, rho=0.6, scale_range=(0.5, 2.0))
+    step = lmc.HamiltonianMC(model_ndim=8, path_length=2.0,
+                             pallas_trajectory=model.pallas_trajectory_spec())
+    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=8,
+                        chains=256, tune=300, draws=300, random_seed=43,
+                        step=step, progressbar=False,
+                        init="jitter+adapt_full", cross_chain_adapt=True,
+                        fuse_draws=True)
+    tr2 = np.asarray(tr).reshape(-1, 8)
+    vr = tr2.var(0) / model.true_var
+    assert vr.min() > 0.75 and vr.max() < 1.3, vr
+
+
 def _replay_pooled_dense(dense_welford, trace, mult):
     """Sequential pooled Welford bookkeeping in float64.
 
@@ -622,6 +667,7 @@ def test_fused_probe_interpret_mode():
 
     assert fused_probe.probe_cos(interpret=True)
     assert fused_probe.probe_grid_scratch(interpret=True)
+    assert fused_probe.probe_smem_accumulate(interpret=True)
     assert fused_probe.fused_engine_supported(interpret=True)
 
 
