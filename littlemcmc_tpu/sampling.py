@@ -588,6 +588,7 @@ def _run_chunked(
     callback=None,
     quiet: bool = False,
     runner_factory=None,
+    fallback_kernel_fn=None,
 ):
     """Chunked execution with live progress and optional checkpoint/resume.
 
@@ -655,7 +656,26 @@ def _run_chunked(
             else:
                 runner = _make_chunk_runner(kernel, chunk, tuning, collect,
                                             cross_chain_adapt)
-            states, out, ndiv = runner(states)
+            try:
+                states, out, ndiv = runner(states)
+            except Exception as e:
+                # Compile/runtime failure of a fused chunk (e.g. a Mosaic
+                # VMEM overflow on a large-n dense config the capability
+                # probe cannot see): rebuild the per-draw kernel and
+                # continue the run there. The chunk-boundary state is a
+                # valid ChainState either way (the fused engines store
+                # pooled metrics in the per-draw engines' representation,
+                # tested by the engine-interop weight checks), so the
+                # fallback is exact — no work is lost.
+                if runner_factory is None or fallback_kernel_fn is None:
+                    raise
+                _log.warning(
+                    "Fused chunk runner failed (%s: %s); falling back to "
+                    "the per-draw engine for the rest of the run.",
+                    type(e).__name__, e)
+                runner_factory = None
+                kernel = fallback_kernel_fn()
+                continue
             if collect:
                 outs.append(out)
             n_div_dev = n_div_dev + ndiv
@@ -1105,16 +1125,37 @@ def sample(
         # pooled dense (block-local pooled covariance on core, exact
         # Chan combine + metric refresh at chunk boundaries) — runs
         # every phase through the fused runner.
-        kernel = step.build_kernel(
-            logp_grad, mesh=mesh, chain_axis=chain_axis,
-            pooled_metric=cross_chain_adapt,
-            pallas_trajectory=resolved_pallas,
-            dense_metric=bool(
-                full or isinstance(step.potential, (QuadPotentialFull,
-                                                    QuadPotentialFullAdapt))),
-        )
+        def _build_per_draw_kernel():
+            return step.build_kernel(
+                logp_grad, mesh=mesh, chain_axis=chain_axis,
+                pooled_metric=cross_chain_adapt,
+                pallas_trajectory=resolved_pallas,
+                dense_metric=bool(
+                    full or isinstance(step.potential,
+                                       (QuadPotentialFull,
+                                        QuadPotentialFullAdapt))),
+            )
+
+        kernel = _build_per_draw_kernel()
+        fallback_kernel_fn = None
     else:
-        kernel = None  # every chunk runs through the fused runner
+        # every chunk runs through the fused runner; in auto mode keep
+        # the per-draw build as the runtime fallback for fused compile
+        # failures the capability probe cannot anticipate (per-config
+        # VMEM overflow). An explicit fuse_draws=True surfaces the error.
+        kernel = None
+        fallback_kernel_fn = None
+        if fuse_draws is not True:
+            def fallback_kernel_fn():
+                return step.build_kernel(
+                    logp_grad, mesh=mesh, chain_axis=chain_axis,
+                    pooled_metric=cross_chain_adapt,
+                    pallas_trajectory=resolved_pallas,
+                    dense_metric=bool(
+                        full or isinstance(step.potential,
+                                           (QuadPotentialFull,
+                                            QuadPotentialFullAdapt))),
+                )
     collect_tune = not discard_tuned_samples
 
     if progressbar:
@@ -1154,6 +1195,7 @@ def sample(
             callback=callback,
             quiet=not progressbar,
             runner_factory=fused_factory,
+            fallback_kernel_fn=fallback_kernel_fn,
         )
     else:
         # Live in-scan progress (reference's per-draw bar with a running

@@ -660,6 +660,44 @@ def test_fused_pooled_dense_welford_matches_replay():
     np.testing.assert_allclose(np.asarray(Rb), rbgr, rtol=1e-3, atol=1e-3)
 
 
+def test_fused_runtime_failure_falls_back_to_per_draw(monkeypatch):
+    """A fused chunk that fails at run time (e.g. a per-config Mosaic
+    VMEM overflow the capability probe cannot see) must fall back to the
+    per-draw engine mid-run in auto mode — and surface the error under
+    an explicit fuse_draws=True."""
+    import littlemcmc_tpu.nuts as nuts_mod
+
+    real = nuts_mod.build_fused_nuts_runner_factory
+
+    def broken(*a, **k):
+        factory = real(*a, **k)
+
+        def bad_factory(chunk, tuning, collect):
+            factory(chunk, tuning, collect)  # the real build still works
+
+            def bad_runner(states):
+                raise RuntimeError("synthetic Mosaic compile failure")
+
+            return bad_runner
+
+        return bad_factory
+
+    monkeypatch.setattr(nuts_mod, "build_fused_nuts_runner_factory", broken)
+    model = models.StandardNormal(3)
+    step = lmc.NUTS(model_ndim=3,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    kwargs = dict(logp_dlogp_func=model.logp_grad, model_ndim=3, chains=16,
+                  tune=100, draws=150, random_seed=3, step=step,
+                  progressbar=False, progress_every=50)
+    tr, st = lmc.sample(**kwargs)  # auto: falls back, completes
+    tr2 = np.asarray(tr).reshape(-1, 3)
+    assert tr2.shape == (16 * 150, 3)
+    assert abs(tr2.mean()) < 0.1 and abs(tr2.var() - 1.0) < 0.2
+    with pytest.raises(RuntimeError, match="synthetic Mosaic"):
+        lmc.sample(fuse_draws=True, **kwargs)
+
+
 def test_fused_probe_interpret_mode():
     """The capability probes pass in interpret mode, and interpret-mode
     auto-selection trusts them without compiling anything."""
