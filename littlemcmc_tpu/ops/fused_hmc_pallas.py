@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -333,6 +334,34 @@ def build_fused_hmc_op(
             raise ValueError(
                 f"chains={C} has no usable chain-block divisor with >= 8 "
                 f"rows at pack={K} for the fused HMC kernel")
+
+        const_bytes = sum(int(np.prod(cc.shape)) * 4 for cc in consts)
+
+        def _est_bytes(RWc):
+            # KEEP IN SYNC with the scratch/in/out lists below (see the
+            # NUTS op for the counting rules: I/O doubled, scratch once).
+            row = RWc * Npad * 4
+            lane = RWc * _LANE * 4
+            sq = Npad * Npad * 4
+            mrow = 8 * Npad * 4
+            scratch = (2 * row + 3 * lane
+                       + (5 * row if adapt_metric else 0)
+                       + ((2 * sq + 2 * mrow) if adapt_dense else 0))
+            ins = 2 * row + RWc * _N_SC_IN * K * 4
+            ins += 2 * sq if dense else row
+            ins += 4 * row if adapt_metric else 0
+            ins += (2 * sq + 2 * mrow) if adapt_dense else 0
+            ins += const_bytes
+            outs_b = (row + RWc * _N_OUT * K * 4 + 2 * row
+                      + RWc * _N_SC_IN * K * 4)
+            outs_b += 5 * row if adapt_metric else 0
+            outs_b += (2 * sq + 2 * mrow + 8 * _LANE * 4) if adapt_dense \
+                else 0
+            return scratch + 2 * (ins + outs_b)
+
+        from .fused_nuts_pallas import _fused_vmem_budget, shrink_chain_block
+        CB = shrink_chain_block(C, CB, K, _est_bytes, _fused_vmem_budget(),
+                                "fused HMC kernel")
         RW = CB // K
         RT = C // K
         f32 = jnp.float32

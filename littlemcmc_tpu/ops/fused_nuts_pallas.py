@@ -145,6 +145,42 @@ def _dense_momentum(lanes, uniform, linv):
 _W_FGW, _W_BGW, _W_NS, _W_PU, _W_WIN = range(5)
 _N_WSC = 8
 
+# Conservative per-kernel VMEM budget for auto-sizing the chain block.
+# TPU cores expose ~16 MiB of VMEM; leave headroom for Mosaic's internal
+# allocations. Override with LMC_FUSED_VMEM_BUDGET (bytes).
+def _fused_vmem_budget() -> int:
+    import os
+
+    return int(os.environ.get("LMC_FUSED_VMEM_BUDGET", 13 * 2 ** 20))
+
+
+def shrink_chain_block(C, CB, K, est_bytes, budget, log_tag):
+    """Halve the chain block while the VMEM estimate exceeds the budget.
+
+    ``est_bytes(RW)`` is the kernel's conservative resident-bytes
+    estimate for an ``RW``-row block (scratch + double-buffered I/O
+    blocks). Stops at the smallest valid divisor (>= 8 rows, divides C,
+    multiple of K); if even that exceeds the budget the caller proceeds
+    anyway — the driver's runtime fallback catches a genuine overflow.
+    """
+    import logging
+
+    shrunk = False
+    while est_bytes(CB // K) > budget:
+        cand = CB // 2
+        while cand >= K * 8 and (C % cand or cand % K):
+            cand //= 2
+        if cand < K * 8:
+            break
+        CB = cand
+        shrunk = True
+    if shrunk:
+        logging.getLogger("littlemcmc_tpu").info(
+            "%s: chain block auto-reduced to %d chains/block "
+            "(VMEM estimate %.1f MiB within budget %.1f MiB)",
+            log_tag, CB, est_bytes(CB // K) / 2 ** 20, budget / 2 ** 20)
+    return CB
+
 
 def _tn_dot(a, b):
     """``(R, N) x (R, M) -> (N, M)`` rows-contraction, exact f32.
@@ -627,6 +663,35 @@ def build_fused_nuts_op(
             raise ValueError(
                 f"chains={C} has no usable chain-block divisor with >= 8 "
                 f"rows at pack={K} for the fused NUTS kernel")
+
+        const_bytes = sum(int(np.prod(cc.shape)) * 4 for cc in consts)
+
+        def _est_bytes(RWc):
+            # KEEP IN SYNC with the scratch/in/out lists below. I/O
+            # blocks are counted twice (Mosaic double-buffers blocks
+            # whose index map varies over the grid); scratch once.
+            row = RWc * Npad * 4
+            lane = RWc * _LANE * 4
+            sq = Npad * Npad * 4
+            mrow = 8 * Npad * 4
+            scratch = (11 * row + 2 * lane + 4 * D * row + 2 * row
+                       + 2 * lane
+                       + (5 * row if adapt_metric else 0)
+                       + ((2 * sq + 2 * mrow) if adapt_dense else 0))
+            ins = 2 * row + RWc * _N_SC_IN * K * 4
+            ins += 2 * sq if dense else row
+            ins += 4 * row if adapt_metric else 0
+            ins += (2 * sq + 2 * mrow) if adapt_dense else 0
+            ins += const_bytes
+            outs_b = (row + RWc * _N_OUT * K * 4 + 2 * row
+                      + RWc * _N_SC_IN * K * 4)
+            outs_b += 5 * row if adapt_metric else 0
+            outs_b += (2 * sq + 2 * mrow + 8 * _LANE * 4) if adapt_dense \
+                else 0
+            return scratch + 2 * (ins + outs_b)
+
+        CB = shrink_chain_block(C, CB, K, _est_bytes, _fused_vmem_budget(),
+                                "fused NUTS kernel")
         RW = CB // K
         RT = C // K
         f32 = jnp.float32

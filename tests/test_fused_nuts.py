@@ -660,6 +660,56 @@ def test_fused_pooled_dense_welford_matches_replay():
     np.testing.assert_allclose(np.asarray(Rb), rbgr, rtol=1e-3, atol=1e-3)
 
 
+def test_fused_vmem_autoshrink():
+    """Large-n dense blocks must auto-reduce the chain block to fit the
+    VMEM budget (the estimate at Npad=256, RW=256 exceeds 13 MiB). The
+    chosen row count is visible through the per-block output stacking:
+    B = chains / RW."""
+    from littlemcmc_tpu.ops.fused_nuts_pallas import shrink_chain_block
+
+    # unit: the halving respects divisibility and the >= 8-row floor
+    est = lambda rw: rw * 100_000  # 256 rows -> 25.6 MB
+    assert shrink_chain_block(512, 256, 1, est, 13 * 2 ** 20, "t") == 128
+    assert shrink_chain_block(512, 256, 1, lambda rw: 1, 13 * 2 ** 20,
+                              "t") == 256  # fits: untouched
+    # even the smallest valid divisor over budget: proceed at the floor
+    assert shrink_chain_block(16, 16, 1, est, 1, "t") == 8
+
+    # integration: a 200-d (Npad=256) adapt_dense kernel at the default
+    # max_treedepth=10 picks RW < 256. The block choice is shape-visible
+    # (B = chains / RW on the per-block outputs), so eval_shape suffices
+    # — no kernel execution.
+    n, C, T = 200, 512, 1
+    model = models.CorrelatedGaussian(n, rho=0.3)
+    cov = jnp.asarray(model.cov, jnp.float32)
+    chol = jnp.linalg.cholesky(cov)
+    linv = jax.scipy.linalg.solve_triangular(chol, jnp.eye(n), lower=True)
+    cfg = NUTSConfig()
+    op = build_fused_nuts_op(model.pallas_trajectory_spec(), n, T,
+                             tuning=True, adapt_metric=False, config=cfg,
+                             interpret=True, metric="dense",
+                             adapt_dense=True)
+    rng = np.random.RandomState(8)
+    q = jnp.asarray(0.1 * rng.randn(C, n), jnp.float32)
+    lp, g = jax.vmap(model.logp_grad)(q)
+    f32 = jnp.float32
+    zeros_n = jnp.zeros(n, f32)
+    dense_welford = (zeros_n, jnp.eye(n, dtype=f32) * 10.0,
+                     jnp.asarray(10.0, f32), zeros_n,
+                     jnp.zeros((n, n), f32), jnp.asarray(0.0, f32),
+                     jnp.asarray(0.0, f32), jnp.asarray(0.0, f32),
+                     jnp.asarray(101.0, f32))
+    step0 = np.float32(np.log(0.05))
+    shapes = jax.eval_shape(
+        lambda *a, **k: op(*a, **k),
+        q, g, lp, jnp.zeros(C), jnp.full(C, step0), jnp.full(C, step0),
+        jnp.zeros(C), jnp.ones(C), jnp.full(C, step0 + np.log(10.0)),
+        cov, None, jnp.asarray([3, 4], jnp.int32), linv=linv,
+        dense_welford=dense_welford)
+    B = shapes["dense_fg_mean"].shape[0]
+    assert B >= 4, f"expected auto-shrunk blocks (RW <= 128), got B={B}"
+
+
 def test_fused_runtime_failure_falls_back_to_per_draw(monkeypatch):
     """A fused chunk that fails at run time (e.g. a per-config Mosaic
     VMEM overflow the capability probe cannot see) must fall back to the
