@@ -41,19 +41,21 @@ from .fused_nuts_pallas import (
     _B_PN,
     _B_PWIN,
     _N_SC_IN,
-    _N_WSC,
     _W_BGW,
     _W_FGW,
-    _W_NS,
-    _W_PU,
-    _W_WIN,
+    _adapt_dense_inputs,
+    _adapt_dense_outputs,
+    _adapt_dense_results,
+    _adapt_dense_scratch,
     _boxmuller_momentum,
     _da_update_cols,
     _dense_momentum,
     _dense_welford_batch_add,
     _dense_welford_swap_and_count,
+    _fused_vmem_budget,
     _scalars_to_rows,
     _welford_update_rows,
+    shrink_chain_block,
 )
 from .hmc_trajectory_pallas import run_hmc_trajectory_values
 from .nuts_trajectory_pallas import (
@@ -141,7 +143,6 @@ def build_fused_hmc_op(
         model_fn = spec.fn
         consts = spec.consts
     n_consts = len(consts)
-    n_wrows = 5 if adapt_metric else 0  # var + fg/bg mean + raw-var rows
 
     def kernel(seed_ref, *rest):
         linv0 = None
@@ -338,8 +339,9 @@ def build_fused_hmc_op(
         const_bytes = sum(int(np.prod(cc.shape)) * 4 for cc in consts)
 
         def _est_bytes(RWc):
-            # KEEP IN SYNC with the scratch/in/out lists below (see the
-            # NUTS op for the counting rules: I/O doubled, scratch once).
+            # KEEP IN SYNC with the scratch/in/out lists below (counting
+            # rules as in the NUTS op: grid-varying blocks doubled,
+            # grid-invariant blocks and scratch once).
             row = RWc * Npad * 4
             lane = RWc * _LANE * 4
             sq = Npad * Npad * 4
@@ -347,19 +349,19 @@ def build_fused_hmc_op(
             scratch = (2 * row + 3 * lane
                        + (5 * row if adapt_metric else 0)
                        + ((2 * sq + 2 * mrow) if adapt_dense else 0))
-            ins = 2 * row + RWc * _N_SC_IN * K * 4
-            ins += 2 * sq if dense else row
-            ins += 4 * row if adapt_metric else 0
-            ins += (2 * sq + 2 * mrow) if adapt_dense else 0
-            ins += const_bytes
-            outs_b = (row + RWc * _N_OUT * K * 4 + 2 * row
-                      + RWc * _N_SC_IN * K * 4)
-            outs_b += 5 * row if adapt_metric else 0
-            outs_b += (2 * sq + 2 * mrow + 8 * _LANE * 4) if adapt_dense \
-                else 0
-            return scratch + 2 * (ins + outs_b)
+            varying = 2 * row + RWc * _N_SC_IN * K * 4       # q, g, sin
+            varying += 0 if dense else row                   # diag var rows
+            varying += 4 * row if adapt_metric else 0        # welford rows
+            varying += (row + RWc * _N_OUT * K * 4 + 2 * row
+                        + RWc * _N_SC_IN * K * 4)            # tr/st/qf/gf/sout
+            varying += 5 * row if adapt_metric else 0        # welford out
+            varying += (2 * sq + 2 * mrow + 8 * _LANE * 4) \
+                if adapt_dense else 0                        # per-block outs
+            invariant = const_bytes
+            invariant += 2 * sq if dense else 0              # cov + linv
+            invariant += (2 * sq + 2 * mrow) if adapt_dense else 0  # seeds
+            return scratch + 2 * varying + invariant
 
-        from .fused_nuts_pallas import _fused_vmem_budget, shrink_chain_block
         CB = shrink_chain_block(C, CB, K, _est_bytes, _fused_vmem_budget(),
                                 "fused HMC kernel")
         RW = CB // K
@@ -434,28 +436,10 @@ def build_fused_hmc_op(
             in_specs += [row_in] * 4
         B = (RT // RW)
         if adapt_dense:
-            (dfm, dfr, dfw, dbm, dbr, dbw, dns, dpu, dwin) = dense_welford
-
-            def pad_mean_rows(v):  # (n,) -> (8, Npad), row 0
-                vp = jnp.pad(jnp.asarray(v, f32), (0, Npad - n))
-                return jnp.pad(vp[None, :], ((0, 7), (0, 0)))
-
-            mean_spec = pl.BlockSpec((8, Npad), lambda i, t: (0, 0),
-                                     memory_space=pltpu.VMEM)
-            # block-local seeds: 1/B of the global pooled state (see the
-            # NUTS fused op — the exact-combine identity)
-            Bf = float(B)
-            inputs += [pad_mean_rows(dfm), pad_sq(dfr) / Bf,
-                       pad_mean_rows(dbm), pad_sq(dbr) / Bf,
-                       jnp.stack([jnp.asarray(dfw, f32) / Bf,
-                                  jnp.asarray(dbw, f32) / Bf,
-                                  jnp.asarray(dns, f32),
-                                  jnp.asarray(dpu, f32),
-                                  jnp.asarray(dwin, f32),
-                                  jnp.zeros((), f32), jnp.zeros((), f32),
-                                  jnp.zeros((), f32)])]
-            in_specs += [mean_spec, sq_spec, mean_spec, sq_spec,
-                         pl.BlockSpec(memory_space=pltpu.SMEM)]
+            d_in, d_specs = _adapt_dense_inputs(dense_welford, B, Npad, n,
+                                                pad_sq)
+            inputs += d_in
+            in_specs += d_specs
         in_specs += const_specs
 
         out_shapes = [
@@ -470,29 +454,16 @@ def build_fused_hmc_op(
             out_shapes += [jax.ShapeDtypeStruct((RT, Npad), f32)] * 5
             out_specs += [row_in] * 5
         if adapt_dense:
-            mean_out = pl.BlockSpec((1, 8, Npad), lambda i, t: (i, 0, 0),
-                                    memory_space=pltpu.VMEM)
-            sq_out = pl.BlockSpec((1, Npad, Npad), lambda i, t: (i, 0, 0),
-                                  memory_space=pltpu.VMEM)
-            lane_out = pl.BlockSpec((1, 8, _LANE), lambda i, t: (i, 0, 0),
-                                    memory_space=pltpu.VMEM)
-            out_shapes += [
-                jax.ShapeDtypeStruct((B, 8, Npad), f32),     # fg mean
-                jax.ShapeDtypeStruct((B, Npad, Npad), f32),  # fg raw
-                jax.ShapeDtypeStruct((B, 8, Npad), f32),     # bg mean
-                jax.ShapeDtypeStruct((B, Npad, Npad), f32),  # bg raw
-                jax.ShapeDtypeStruct((B, 8, _LANE), f32),    # counters
-            ]
-            out_specs += [mean_out, sq_out, mean_out, sq_out, lane_out]
+            d_shapes, d_outspecs = _adapt_dense_outputs(B, Npad)
+            out_shapes += d_shapes
+            out_specs += d_outspecs
 
         scratch = (
             [pltpu.VMEM((RW, Npad), f32)] * 2        # q_s, g_s
             + [pltpu.VMEM((RW, _LANE), f32)] * 2     # sa, sb
             + [pltpu.VMEM((RW, _LANE), jnp.int32)]   # si (counter PRNG)
             + ([pltpu.VMEM((RW, Npad), f32)] * 5 if adapt_metric else [])
-            + ([pltpu.VMEM((8, Npad), f32), pltpu.VMEM((Npad, Npad), f32),
-                pltpu.VMEM((8, Npad), f32), pltpu.VMEM((Npad, Npad), f32),
-                pltpu.SMEM((_N_WSC,), f32)] if adapt_dense else [])
+            + (_adapt_dense_scratch(Npad) if adapt_dense else [])
         )
 
         outs = pl.pallas_call(
@@ -559,18 +530,7 @@ def build_fused_hmc_op(
                 window=sc(soutf, 12),
             )
         if adapt_dense:
-            dwmf, dwrf, dbmf, dbrf, wscf = outs[5:]
-            res.update(
-                dense_fg_mean=dwmf[:, 0, :n],          # (B, n)
-                dense_fg_raw=dwrf[:, :n, :n],          # (B, n, n)
-                dense_fg_w=wscf[:, 0, _W_FGW],         # (B,)
-                dense_bg_mean=dbmf[:, 0, :n],
-                dense_bg_raw=dbrf[:, :n, :n],
-                dense_bg_w=wscf[:, 0, _W_BGW],
-                n_samples=wscf[0, 0, _W_NS],           # shared counters
-                prev_update=wscf[0, 0, _W_PU],
-                window=wscf[0, 0, _W_WIN],
-            )
+            res.update(_adapt_dense_results(outs[5:], n))
         return res
 
     return fused

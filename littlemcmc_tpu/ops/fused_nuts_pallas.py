@@ -241,6 +241,83 @@ def _dense_welford_swap_and_count(fgm_s, fgr_s, bgm_s, bgr_s, wsc, mult):
     wsc[_W_NS] = ns + 1.0
 
 
+def _adapt_dense_inputs(dense_welford, B, Npad, n, pad_sq):
+    """Block-seed inputs + specs for the pooled-dense Welford state.
+
+    Each block is seeded with 1/B of the (device-local share of the)
+    global pooled state — the exact-combine identity Σ_b (state/B ⊕
+    samples_b) = state ⊕ all samples makes per-block accumulation
+    lossless. Shared verbatim by the NUTS and HMC fused ops.
+    """
+    f32 = jnp.float32
+    (dfm, dfr, dfw, dbm, dbr, dbw, dns, dpu, dwin) = dense_welford
+
+    def pad_mean_rows(v):  # (n,) -> (8, Npad), row 0
+        vp = jnp.pad(jnp.asarray(v, f32), (0, Npad - n))
+        return jnp.pad(vp[None, :], ((0, 7), (0, 0)))
+
+    mean_spec = pl.BlockSpec((8, Npad), lambda i, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    sq_spec = pl.BlockSpec((Npad, Npad), lambda i, t: (0, 0),
+                           memory_space=pltpu.VMEM)
+    Bf = float(B)
+    inputs = [pad_mean_rows(dfm), pad_sq(dfr) / Bf,
+              pad_mean_rows(dbm), pad_sq(dbr) / Bf,
+              jnp.stack([jnp.asarray(dfw, f32) / Bf,
+                         jnp.asarray(dbw, f32) / Bf,
+                         jnp.asarray(dns, f32),
+                         jnp.asarray(dpu, f32),
+                         jnp.asarray(dwin, f32),
+                         jnp.zeros((), f32), jnp.zeros((), f32),
+                         jnp.zeros((), f32)])]
+    in_specs = [mean_spec, sq_spec, mean_spec, sq_spec,
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    return inputs, in_specs
+
+
+def _adapt_dense_outputs(B, Npad):
+    """Per-block output shapes + specs for the pooled-dense state."""
+    f32 = jnp.float32
+    mean_out = pl.BlockSpec((1, 8, Npad), lambda i, t: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    sq_out = pl.BlockSpec((1, Npad, Npad), lambda i, t: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    lane_out = pl.BlockSpec((1, 8, _LANE), lambda i, t: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, 8, Npad), f32),     # fg mean
+        jax.ShapeDtypeStruct((B, Npad, Npad), f32),  # fg raw
+        jax.ShapeDtypeStruct((B, 8, Npad), f32),     # bg mean
+        jax.ShapeDtypeStruct((B, Npad, Npad), f32),  # bg raw
+        jax.ShapeDtypeStruct((B, 8, _LANE), f32),    # counters
+    ]
+    return out_shapes, [mean_out, sq_out, mean_out, sq_out, lane_out]
+
+
+def _adapt_dense_scratch(Npad):
+    """Block-local pooled-Welford scratch (fg/bg mean + raw, counters)."""
+    f32 = jnp.float32
+    return [pltpu.VMEM((8, Npad), f32), pltpu.VMEM((Npad, Npad), f32),
+            pltpu.VMEM((8, Npad), f32), pltpu.VMEM((Npad, Npad), f32),
+            pltpu.SMEM((_N_WSC,), f32)]
+
+
+def _adapt_dense_results(outs_tail, n):
+    """Result-dict entries from the 5 per-block pooled-dense outputs."""
+    dwmf, dwrf, dbmf, dbrf, wscf = outs_tail
+    return dict(
+        dense_fg_mean=dwmf[:, 0, :n],          # (B, n)
+        dense_fg_raw=dwrf[:, :n, :n],          # (B, n, n)
+        dense_fg_w=wscf[:, 0, _W_FGW],         # (B,)
+        dense_bg_mean=dbmf[:, 0, :n],
+        dense_bg_raw=dbrf[:, :n, :n],
+        dense_bg_w=wscf[:, 0, _W_BGW],
+        n_samples=wscf[0, 0, _W_NS],           # shared counters
+        prev_update=wscf[0, 0, _W_PU],
+        window=wscf[0, 0, _W_WIN],
+    )
+
+
 def _scalars_to_rows(vals, rows, width):
     """Spread a scalar list across lanes of row 0 of an ``(rows, width)``."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
@@ -417,7 +494,6 @@ def build_fused_nuts_op(
         model_fn = spec.fn
         consts = spec.consts
     n_consts = len(consts)
-    n_wrows = 4 if adapt_metric else 0  # fg/bg mean + raw-var rows
 
     def kernel(seed_ref, *rest):
         linv0 = None
@@ -667,9 +743,11 @@ def build_fused_nuts_op(
         const_bytes = sum(int(np.prod(cc.shape)) * 4 for cc in consts)
 
         def _est_bytes(RWc):
-            # KEEP IN SYNC with the scratch/in/out lists below. I/O
-            # blocks are counted twice (Mosaic double-buffers blocks
-            # whose index map varies over the grid); scratch once.
+            # KEEP IN SYNC with the scratch/in/out lists below. Blocks
+            # whose index map varies over the grid are double-buffered by
+            # Mosaic (x2: the (i,...)-mapped chain rows and (t,...)-mapped
+            # draw streams); grid-invariant blocks (shared matrices,
+            # pooled seeds, consts) and scratch count once.
             row = RWc * Npad * 4
             lane = RWc * _LANE * 4
             sq = Npad * Npad * 4
@@ -678,17 +756,18 @@ def build_fused_nuts_op(
                        + 2 * lane
                        + (5 * row if adapt_metric else 0)
                        + ((2 * sq + 2 * mrow) if adapt_dense else 0))
-            ins = 2 * row + RWc * _N_SC_IN * K * 4
-            ins += 2 * sq if dense else row
-            ins += 4 * row if adapt_metric else 0
-            ins += (2 * sq + 2 * mrow) if adapt_dense else 0
-            ins += const_bytes
-            outs_b = (row + RWc * _N_OUT * K * 4 + 2 * row
-                      + RWc * _N_SC_IN * K * 4)
-            outs_b += 5 * row if adapt_metric else 0
-            outs_b += (2 * sq + 2 * mrow + 8 * _LANE * 4) if adapt_dense \
-                else 0
-            return scratch + 2 * (ins + outs_b)
+            varying = 2 * row + RWc * _N_SC_IN * K * 4       # q, g, sin
+            varying += 0 if dense else row                   # diag var rows
+            varying += 4 * row if adapt_metric else 0        # welford rows
+            varying += (row + RWc * _N_OUT * K * 4 + 2 * row
+                        + RWc * _N_SC_IN * K * 4)            # tr/st/qf/gf/sout
+            varying += 5 * row if adapt_metric else 0        # welford out
+            varying += (2 * sq + 2 * mrow + 8 * _LANE * 4) \
+                if adapt_dense else 0                        # per-block outs
+            invariant = const_bytes
+            invariant += 2 * sq if dense else 0              # cov + linv
+            invariant += (2 * sq + 2 * mrow) if adapt_dense else 0  # seeds
+            return scratch + 2 * varying + invariant
 
         CB = shrink_chain_block(C, CB, K, _est_bytes, _fused_vmem_budget(),
                                 "fused NUTS kernel")
@@ -764,29 +843,10 @@ def build_fused_nuts_op(
             in_specs += [row_in] * 4
         B = (RT // RW)
         if adapt_dense:
-            (dfm, dfr, dfw, dbm, dbr, dbw, dns, dpu, dwin) = dense_welford
-
-            def pad_mean_rows(v):  # (n,) -> (8, Npad), row 0
-                vp = jnp.pad(jnp.asarray(v, f32), (0, Npad - n))
-                return jnp.pad(vp[None, :], ((0, 7), (0, 0)))
-
-            mean_spec = pl.BlockSpec((8, Npad), lambda i, t: (0, 0),
-                                     memory_space=pltpu.VMEM)
-            # block-local seeds: 1/B of the global pooled state — the
-            # exact-combine identity Σ_b (state/B ⊕ samples_b) = state ⊕
-            # all samples makes per-block accumulation lossless
-            Bf = float(B)
-            inputs += [pad_mean_rows(dfm), pad_sq(dfr) / Bf,
-                       pad_mean_rows(dbm), pad_sq(dbr) / Bf,
-                       jnp.stack([jnp.asarray(dfw, f32) / Bf,
-                                  jnp.asarray(dbw, f32) / Bf,
-                                  jnp.asarray(dns, f32),
-                                  jnp.asarray(dpu, f32),
-                                  jnp.asarray(dwin, f32),
-                                  jnp.zeros((), f32), jnp.zeros((), f32),
-                                  jnp.zeros((), f32)])]
-            in_specs += [mean_spec, sq_spec, mean_spec, sq_spec,
-                         pl.BlockSpec(memory_space=pltpu.SMEM)]
+            d_in, d_specs = _adapt_dense_inputs(dense_welford, B, Npad, n,
+                                                pad_sq)
+            inputs += d_in
+            in_specs += d_specs
         in_specs += const_specs
 
         out_shapes = [
@@ -801,20 +861,9 @@ def build_fused_nuts_op(
             out_shapes += [jax.ShapeDtypeStruct((RT, Npad), f32)] * 5
             out_specs += [row_in] * 5
         if adapt_dense:
-            mean_out = pl.BlockSpec((1, 8, Npad), lambda i, t: (i, 0, 0),
-                                    memory_space=pltpu.VMEM)
-            sq_out = pl.BlockSpec((1, Npad, Npad), lambda i, t: (i, 0, 0),
-                                  memory_space=pltpu.VMEM)
-            lane_out = pl.BlockSpec((1, 8, _LANE), lambda i, t: (i, 0, 0),
-                                    memory_space=pltpu.VMEM)
-            out_shapes += [
-                jax.ShapeDtypeStruct((B, 8, Npad), f32),     # fg mean
-                jax.ShapeDtypeStruct((B, Npad, Npad), f32),  # fg raw
-                jax.ShapeDtypeStruct((B, 8, Npad), f32),     # bg mean
-                jax.ShapeDtypeStruct((B, Npad, Npad), f32),  # bg raw
-                jax.ShapeDtypeStruct((B, 8, _LANE), f32),    # counters
-            ]
-            out_specs += [mean_out, sq_out, mean_out, sq_out, lane_out]
+            d_shapes, d_outspecs = _adapt_dense_outputs(B, Npad)
+            out_shapes += d_shapes
+            out_specs += d_outspecs
 
         scratch = (
             [pltpu.VMEM((RW, Npad), f32)] * 11       # transition rows
@@ -824,9 +873,7 @@ def build_fused_nuts_op(
             + [pltpu.VMEM((RW, Npad), f32)] * 2      # q_s, g_s
             + [pltpu.VMEM((RW, _LANE), f32)] * 2     # sa, sb
             + ([pltpu.VMEM((RW, Npad), f32)] * 5 if adapt_metric else [])
-            + ([pltpu.VMEM((8, Npad), f32), pltpu.VMEM((Npad, Npad), f32),
-                pltpu.VMEM((8, Npad), f32), pltpu.VMEM((Npad, Npad), f32),
-                pltpu.SMEM((_N_WSC,), f32)] if adapt_dense else [])
+            + (_adapt_dense_scratch(Npad) if adapt_dense else [])
         )
 
         outs = pl.pallas_call(
@@ -894,18 +941,7 @@ def build_fused_nuts_op(
                 window=sc(soutf, 12),
             )
         if adapt_dense:
-            dwmf, dwrf, dbmf, dbrf, wscf = outs[5:]
-            res.update(
-                dense_fg_mean=dwmf[:, 0, :n],          # (B, n)
-                dense_fg_raw=dwrf[:, :n, :n],          # (B, n, n)
-                dense_fg_w=wscf[:, 0, _W_FGW],         # (B,)
-                dense_bg_mean=dbmf[:, 0, :n],
-                dense_bg_raw=dbrf[:, :n, :n],
-                dense_bg_w=wscf[:, 0, _W_BGW],
-                n_samples=wscf[0, 0, _W_NS],           # shared counters
-                prev_update=wscf[0, 0, _W_PU],
-                window=wscf[0, 0, _W_WIN],
-            )
+            res.update(_adapt_dense_results(outs[5:], n))
         return res
 
     return fused

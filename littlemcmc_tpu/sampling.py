@@ -641,6 +641,7 @@ def _run_chunked(
     # on the tunneled dev box), so it is only materialized when a
     # progress line, checkpoint, or callback actually needs the value.
     n_div_dev = jnp.asarray(n_div_total, jnp.int32)
+    _fused_synced: set = set()  # fused programs proven to execute
     try:
         while done < total:
             tuning = done < tune
@@ -657,7 +658,18 @@ def _run_chunked(
                 runner = _make_chunk_runner(kernel, chunk, tuning, collect,
                                             cross_chain_adapt)
             try:
-                states, out, ndiv = runner(states)
+                new_states, out, ndiv = runner(states)
+                if (fallback_kernel_fn is not None
+                        and runner_factory is not None
+                        and (chunk, tuning, collect) not in _fused_synced):
+                    # First use of this fused program: force completion so
+                    # an async-dispatched compile/launch failure raises
+                    # HERE (inside the try) instead of poisoning `states`
+                    # and surfacing past the fallback at a later sync.
+                    # Subsequent chunks of the same program skip the sync.
+                    jax.block_until_ready(new_states)
+                    _fused_synced.add((chunk, tuning, collect))
+                states = new_states
             except Exception as e:
                 # Compile/runtime failure of a fused chunk (e.g. a Mosaic
                 # VMEM overflow on a large-n dense config the capability
@@ -1118,6 +1130,17 @@ def sample(
     # --- The compiled sampling program -----------------------------------
     # The pallas trajectory op (if any) must be shard_map-wrapped over a
     # multi-device mesh: GSPMD cannot auto-partition a pallas_call.
+    def _build_per_draw_kernel():
+        return step.build_kernel(
+            logp_grad, mesh=mesh, chain_axis=chain_axis,
+            pooled_metric=cross_chain_adapt,
+            pallas_trajectory=resolved_pallas,
+            dense_metric=bool(
+                full or isinstance(step.potential,
+                                   (QuadPotentialFull,
+                                    QuadPotentialFullAdapt))),
+        )
+
     if fused_factory is None:
         # The per-draw kernel: the only engine when no fused factory
         # applies. Every fusable configuration — including pooled diag
@@ -1125,17 +1148,6 @@ def sample(
         # pooled dense (block-local pooled covariance on core, exact
         # Chan combine + metric refresh at chunk boundaries) — runs
         # every phase through the fused runner.
-        def _build_per_draw_kernel():
-            return step.build_kernel(
-                logp_grad, mesh=mesh, chain_axis=chain_axis,
-                pooled_metric=cross_chain_adapt,
-                pallas_trajectory=resolved_pallas,
-                dense_metric=bool(
-                    full or isinstance(step.potential,
-                                       (QuadPotentialFull,
-                                        QuadPotentialFullAdapt))),
-            )
-
         kernel = _build_per_draw_kernel()
         fallback_kernel_fn = None
     else:
@@ -1144,18 +1156,8 @@ def sample(
         # failures the capability probe cannot anticipate (per-config
         # VMEM overflow). An explicit fuse_draws=True surfaces the error.
         kernel = None
-        fallback_kernel_fn = None
-        if fuse_draws is not True:
-            def fallback_kernel_fn():
-                return step.build_kernel(
-                    logp_grad, mesh=mesh, chain_axis=chain_axis,
-                    pooled_metric=cross_chain_adapt,
-                    pallas_trajectory=resolved_pallas,
-                    dense_metric=bool(
-                        full or isinstance(step.potential,
-                                           (QuadPotentialFull,
-                                            QuadPotentialFullAdapt))),
-                )
+        fallback_kernel_fn = (None if fuse_draws is True
+                              else _build_per_draw_kernel)
     collect_tune = not discard_tuned_samples
 
     if progressbar:

@@ -68,7 +68,8 @@ def main():
         "corr_gaussian_100d_diag_pooled": (
             models.CorrelatedGaussian(100), 1024, 500, 1000, 0.8,
             {"cross_chain_adapt": True}),
-        # fused dense draw phase (tune stays per-draw w/ pooling psums)
+        # pooled dense: EVERY phase fused — tune chunks carry the
+        # block-local pooled covariance on core (round-3 adapt_dense)
         "corr_gaussian_100d_full_pooled": (
             models.CorrelatedGaussian(100), 256, 500, 1000, 0.8,
             {"init": "jitter+adapt_full", "cross_chain_adapt": True}),

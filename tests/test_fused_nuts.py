@@ -660,12 +660,16 @@ def test_fused_pooled_dense_welford_matches_replay():
     np.testing.assert_allclose(np.asarray(Rb), rbgr, rtol=1e-3, atol=1e-3)
 
 
-def test_fused_vmem_autoshrink():
+def test_fused_vmem_autoshrink(monkeypatch):
     """Large-n dense blocks must auto-reduce the chain block to fit the
     VMEM budget (the estimate at Npad=256, RW=256 exceeds 13 MiB). The
     chosen row count is visible through the per-block output stacking:
     B = chains / RW."""
     from littlemcmc_tpu.ops.fused_nuts_pallas import shrink_chain_block
+
+    # pin the default budget: an ambient LMC_FUSED_VMEM_BUDGET override
+    # (a documented operator knob) must not flip this test
+    monkeypatch.delenv("LMC_FUSED_VMEM_BUDGET", raising=False)
 
     # unit: the halving respects divisibility and the >= 8-row floor
     est = lambda rw: rw * 100_000  # 256 rows -> 25.6 MB
