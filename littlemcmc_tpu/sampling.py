@@ -643,10 +643,17 @@ def _run_chunked(
     n_div_dev = jnp.asarray(n_div_total, jnp.int32)
     _fused_synced: set = set()  # fused programs proven to execute
     try:
+        tune_cap = getattr(runner_factory, "tune_chunk_cap", None)
         while done < total:
             tuning = done < tune
             phase_end = tune if tuning else total
-            stop = min(phase_end, done + base_step)
+            step_len = base_step
+            if tuning and tune_cap:
+                # boundary-cadence adaptation (pooled-dense fused tune):
+                # the metric refreshes only at chunk boundaries, so tune
+                # chunks are capped to keep a Stan-like refresh cadence
+                step_len = min(step_len, tune_cap)
+            stop = min(phase_end, done + step_len)
             chunk = stop - done
             collect = collect_tune if tuning else True
 

@@ -88,10 +88,10 @@ def main():
               f"{r['depth']:.2f} | {r['step']:.3f} | {r['ess'].min():.0f} |")
 
     print("\n### engine equivalence: 5-d correlated Gaussian, pooled "
-          "adapt_full (fused draw phase)\n")
+          "adapt_full (every phase fused)\n")
     m2 = models.CorrelatedGaussian(5, rho=0.8, scale_range=(0.5, 2.0))
     rows = []
-    for fuse, label in ((False, "per-draw"), (None, "fused draws")):
+    for fuse, label in ((False, "per-draw"), (None, "fused")):
         r = run(m2, fuse, seed=37, chains=chains, tune=tune, draws=draws,
                 init="jitter+adapt_full", cross_chain_adapt=True)
         zm, zv = zrow(r, 0.0, m2.true_var)
