@@ -6,7 +6,7 @@ engines — equivalence is statistical, not bitwise. This runs both
 engines through the public ``sample(fuse_draws=...)`` knob on the same
 configs and prints a markdown table of exact-moment z-scores (against
 MC standard errors from bulk ESS) plus the adaptation endpoints, for
-VALIDATION.md config 5.
+VALIDATION.md config 6.
 
 Runs anywhere (CPU interpret mode included): pass ``--interpret`` off
 TPU. ~10 min on CPU.

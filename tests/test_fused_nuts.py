@@ -398,7 +398,7 @@ def test_fused_pooled_dense_e2e():
     # adaptation-endpoint parity: the boundary-cadence tune must converge
     # to the per-draw engine's step size (the tune-chunk cap is load-
     # bearing here — without it the step adapts against the initial
-    # metric all tune and lands ~2x small; VALIDATION.md config 5)
+    # metric all tune and lands ~2x small; VALIDATION.md config 6)
     step_f = float(np.exp(np.asarray(fs.da.log_bar)).mean())
     step_pd = float(np.exp(np.asarray(fs_pd.da.log_bar)).mean())
     assert abs(np.log(step_f / step_pd)) < np.log(1.35), (step_f, step_pd)
