@@ -34,6 +34,7 @@ from .quadpotential import (
     QuadPotentialFullInv,
     QuadPotentialDiagAdapt,
     QuadPotentialFullAdapt,
+    QuadPotentialLowRankAdapt,
     PositiveDefiniteError,
 )
 from .base import NUTSConfig, HMCConfig, ChainState, init_chain_state
@@ -62,6 +63,7 @@ __all__ = [
     "QuadPotentialFullInv",
     "QuadPotentialDiagAdapt",
     "QuadPotentialFullAdapt",
+    "QuadPotentialLowRankAdapt",
     "NUTSConfig",
     "HMCConfig",
     "ChainState",

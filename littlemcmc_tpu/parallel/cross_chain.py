@@ -19,19 +19,26 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..quadpotential import QuadPotentialDiagAdapt, QuadPotentialFullAdapt
+from ..quadpotential import (QuadPotentialDiagAdapt, QuadPotentialFullAdapt,
+                             QuadPotentialLowRankAdapt,
+                             _effective_eigenvalues, _orthonormal_columns)
 
 __all__ = ["cross_chain_potential_pool"]
 
 
-def _pooled_diag(pot: QuadPotentialDiagAdapt):
+def _pooled_diag_moments(pot):
+    """Pooled ``(mean, var)`` from chain-batched diag Welford foregrounds."""
     w = pot.fg.w_sum  # (C,)
     W = jnp.sum(w)
     M = jnp.sum(w[:, None] * pot.fg.mean, axis=0) / W
     raw = jnp.sum(pot.fg.raw_var, axis=0) + jnp.sum(
         w[:, None] * (pot.fg.mean - M) ** 2, axis=0
     )
-    return raw / W  # biased (divide-by-W), matching the per-chain estimator
+    return M, raw / W  # biased (divide-by-W), matching the per-chain estimator
+
+
+def _pooled_diag(pot: QuadPotentialDiagAdapt):
+    return _pooled_diag_moments(pot)[1]
 
 
 def _pooled_cov(pot: QuadPotentialFullAdapt):
@@ -43,13 +50,70 @@ def _pooled_cov(pot: QuadPotentialFullAdapt):
     return raw / (N - 1.0)
 
 
-def cross_chain_potential_pool(potential, tuning):
+def _pooled_lowrank(pot: QuadPotentialLowRankAdapt, samples):
+    """Pooled low-rank metric: batch subspace iteration + pooled moments.
+
+    With ``C`` chains contributing one standardized sample each per
+    tuning step, one *shifted* subspace-iteration step
+    ``V ← orth(V + Zᵀ(ZV)/C)`` (the shift ``+V`` preserves eigenvector
+    order and keeps the step stable when the batch estimate is noisy)
+    converges to the top-``k`` eigendirections within a few steps —
+    far faster than any single chain's rank-1 Oja stream. Eigenvalue
+    accumulators are averaged across chains: each chain's last
+    ``update`` added its own squared projections, so the average is the
+    pooled second-moment estimate.
+    """
+    M, var = _pooled_diag_moments(pot)
+    stds = jnp.sqrt(var)
+    inv_stds = 1.0 / stds
+    Z = (samples - M) * inv_stds  # (C, n)
+    C = samples.shape[0]
+    # per-chain bases are one Oja step past the previous pooled basis;
+    # the orthonormalized mean re-synchronizes them (exact when identical)
+    V0 = _orthonormal_columns(jnp.mean(pot.vecs, axis=0))
+    V = _orthonormal_columns(
+        V0 + jnp.dot(Z.T, jnp.dot(Z, V0, precision="highest",
+                                  preferred_element_type=Z.dtype) / C,
+                     precision="highest", preferred_element_type=Z.dtype))
+    lam_w = jnp.mean(pot.lam_w)
+    lam_s2 = jnp.mean(pot.lam_s2, axis=0)
+    lam = _effective_eigenvalues(lam_s2, lam_w, pot.lam_clip)
+    alpha_s2 = jnp.mean(pot.alpha_s2)
+    n_resid = max(samples.shape[1] - pot.rank, 1)
+    alpha = _effective_eigenvalues(alpha_s2 / n_resid, lam_w, pot.lam_clip)
+    Cn = pot.var.shape[0]
+
+    def b(x):
+        return jnp.broadcast_to(x, (Cn,) + x.shape)
+
+    return pot.replace(
+        var=b(var), stds=b(stds), inv_stds=b(inv_stds),
+        vecs=b(V), lam=b(lam), alpha=b(alpha),
+        lam_w=b(lam_w), lam_s2=b(lam_s2), alpha_s2=b(alpha_s2),
+    )
+
+
+def cross_chain_potential_pool(potential, tuning, samples=None):
     """Overwrite each chain's metric with the cross-chain pooled estimate.
 
     ``potential`` is a chain-batched metric pytree (leading axis = chains).
-    No-op for static metrics and when ``tuning`` is False.
+    No-op for static metrics and when ``tuning`` is False. ``samples``
+    (the chain-batched positions after this step, ``(C, n)``) feeds the
+    low-rank metric's batch subspace iteration; without it the low-rank
+    branch pools only the diagonal part.
     """
-    if isinstance(potential, QuadPotentialDiagAdapt):
+    if isinstance(potential, QuadPotentialLowRankAdapt):
+        if samples is not None:
+            pooled = _pooled_lowrank(potential, samples)
+        else:
+            M, var = _pooled_diag_moments(potential)
+            stds = jnp.sqrt(var)
+            C = potential.var.shape[0]
+            bvar = jnp.broadcast_to(var, (C,) + var.shape)
+            bstds = jnp.broadcast_to(stds, (C,) + stds.shape)
+            pooled = potential.replace(
+                var=bvar, stds=bstds, inv_stds=1.0 / bstds)
+    elif isinstance(potential, QuadPotentialDiagAdapt):
         var = _pooled_diag(potential)  # (n,)
         stds = jnp.sqrt(var)
         C = potential.var.shape[0]

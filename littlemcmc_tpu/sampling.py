@@ -38,6 +38,7 @@ from .quadpotential import (
     QuadPotentialDiagAdapt,
     QuadPotentialFull,
     QuadPotentialFullAdapt,
+    QuadPotentialLowRankAdapt,
     isquadpotential,
     quad_potential,
 )
@@ -259,17 +260,44 @@ class HamiltonianMC(_StepSpec):
         )
 
 
-def _make_adaptive_potential(ndim: int, mean: jax.Array, full: bool, dtype):
-    """Default adaptive metric as built by ``init_nuts`` (``sampling.py:578-597``)."""
-    if full:
+def _make_adaptive_potential(ndim: int, mean: jax.Array, kind, dtype):
+    """Default adaptive metric as built by ``init_nuts`` (``sampling.py:578-597``).
+
+    ``kind`` is ``"diag"`` / ``"full"`` / ``"lowrank"`` (a bool is accepted
+    as the legacy full-vs-diag switch).
+    """
+    if isinstance(kind, bool):
+        kind = "full" if kind else "diag"
+    if kind == "full":
         return QuadPotentialFullAdapt.create(
             ndim, initial_mean=mean, initial_cov=jnp.eye(ndim, dtype=dtype),
+            initial_weight=10.0, dtype=dtype,
+        )
+    if kind == "lowrank":
+        return QuadPotentialLowRankAdapt.create(
+            ndim, initial_mean=mean, initial_diag=jnp.ones(ndim, dtype=dtype),
             initial_weight=10.0, dtype=dtype,
         )
     return QuadPotentialDiagAdapt.create(
         ndim, initial_mean=mean, initial_diag=jnp.ones(ndim, dtype=dtype),
         initial_weight=10.0, dtype=dtype,
     )
+
+
+def _init_metric_kind(init_l: str) -> str:
+    """Metric kind from a (lowercased) init-method string."""
+    if init_l.endswith("adapt_full"):
+        return "full"
+    if init_l.endswith("adapt_lowrank"):
+        return "lowrank"
+    return "diag"
+
+
+_INIT_METHODS = (
+    "adapt_diag", "jitter+adapt_diag",
+    "adapt_full", "jitter+adapt_full",
+    "adapt_lowrank", "jitter+adapt_lowrank",
+)
 
 
 def init_nuts(
@@ -296,7 +324,7 @@ def init_nuts(
         init = "jitter+adapt_diag"
     _log.info("Initializing NUTS using %s...", init)
 
-    if init not in ("adapt_diag", "jitter+adapt_diag", "adapt_full", "jitter+adapt_full"):
+    if init not in _INIT_METHODS:
         raise ValueError("Unknown initializer: {}.".format(init))
 
     if model_ndim is None:
@@ -305,7 +333,7 @@ def init_nuts(
     seed = _as_seed(random_seed)
     key = jax.random.key(seed)
     jitter = init.startswith("jitter")
-    full = init.endswith("adapt_full")
+    kind = _init_metric_kind(init)
 
     if jitter:
         start = 2.0 * jax.random.uniform(key, (model_ndim,), dtype) - 1.0
@@ -320,7 +348,7 @@ def init_nuts(
         # the spec carries (autodiffed; memoized per function object)
         logp_dlogp_func = as_logp_grad(logp_fn=logp_fn)
 
-    potential = _make_adaptive_potential(model_ndim, start, full, dtype)
+    potential = _make_adaptive_potential(model_ndim, start, kind, dtype)
     step = NUTS(
         logp_dlogp_func=logp_dlogp_func,
         model_ndim=model_ndim,
@@ -377,14 +405,14 @@ def _broadcast_potential(potential, chains: int):
 
 
 @functools.lru_cache(maxsize=256)
-def _make_init_fn(config, logp_grad, model_ndim: int, full: bool, dtype, has_potential: bool):
+def _make_init_fn(config, logp_grad, model_ndim: int, kind, dtype, has_potential: bool):
     """Jitted, vmapped per-chain state initializer (cached per config)."""
     if has_potential:
         def init_one(k, q0, pot):
             return init_chain_state(k, q0, pot, config, logp_grad)
     else:
         def init_one(k, q0):
-            pot = _make_adaptive_potential(model_ndim, q0, full, dtype)
+            pot = _make_adaptive_potential(model_ndim, q0, kind, dtype)
             return init_chain_state(k, q0, pot, config, logp_grad)
 
     return jax.jit(jax.vmap(init_one))
@@ -505,7 +533,8 @@ def _make_runner(kernel, tune: int, draws: int, collect_tune: bool,
             s2, info = batched_kernel(s, jnp.asarray(tuning))
             if cross_chain_adapt and tuning:
                 s2 = s2.replace(
-                    potential=cross_chain_potential_pool(s2.potential, jnp.asarray(tuning))
+                    potential=cross_chain_potential_pool(
+                        s2.potential, jnp.asarray(tuning), samples=s2.q)
                 )
             ndiv = ndiv + jnp.sum(info.diverging).astype(jnp.int32)
             if live_every:
@@ -552,7 +581,8 @@ def _make_chunk_runner(kernel, chunk: int, tuning: bool, collect: bool,
             s2, info = batched_kernel(s, jnp.asarray(tuning))
             if cross_chain_adapt and tuning:
                 s2 = s2.replace(
-                    potential=cross_chain_potential_pool(s2.potential, jnp.asarray(tuning))
+                    potential=cross_chain_potential_pool(
+                        s2.potential, jnp.asarray(tuning), samples=s2.q)
                 )
             ndiv = ndiv + jnp.sum(info.diverging)
             return (s2, ndiv), ((s2.q, info) if collect else None)
@@ -873,10 +903,11 @@ def sample(
     init_l = (init or "auto").lower()
     if init_l == "auto":
         init_l = "jitter+adapt_diag"
-    if init_l not in ("adapt_diag", "jitter+adapt_diag", "adapt_full", "jitter+adapt_full"):
+    if init_l not in _INIT_METHODS:
         raise ValueError("Unknown initializer: {}.".format(init))
     jitter = init_l.startswith("jitter")
-    full = init_l.endswith("adapt_full")
+    metric_kind = _init_metric_kind(init_l)
+    full = metric_kind == "full"
     if step is None:
         step = NUTS(model_ndim=model_ndim, **kwargs)
     elif kwargs:
@@ -897,15 +928,21 @@ def sample(
     # pass cross_chain_adapt=False explicitly for the reference's
     # per-chain estimator.
     if cross_chain_adapt is None:
-        is_full_adapt = full or isinstance(step.potential, QuadPotentialFullAdapt)
+        # low-rank metrics pool too: the batch subspace iteration over C
+        # chains converges in a handful of tuning steps where the
+        # per-chain rank-1 Oja stream needs hundreds.
+        is_poolable_adapt = (
+            metric_kind in ("full", "lowrank")
+            or isinstance(step.potential,
+                          (QuadPotentialFullAdapt, QuadPotentialLowRankAdapt)))
         cross_chain_adapt = bool(
-            is_full_adapt and chains >= _POOLED_PROMOTE_CHAINS)
+            is_poolable_adapt and chains >= _POOLED_PROMOTE_CHAINS)
         if cross_chain_adapt:
             _log.info(
-                "Promoting adapt_full to cross-chain pooled adaptation at "
+                "Promoting %s to cross-chain pooled adaptation at "
                 "%d chains (measured to dominate per-chain estimation — "
                 "POOLED_VS_PERCHAIN.json; pass cross_chain_adapt=False for "
-                "the reference's per-chain estimator).", chains)
+                "the per-chain estimator).", init_l, chains)
 
     # --- Resolve the "auto" Pallas fast path ----------------------------
     # Fast-by-default for NUTS *and* HamiltonianMC: when the run is on
@@ -928,7 +965,7 @@ def sample(
         )
         usable_block = local_chains >= 1 and usable_chain_count(local_chains)
         diag_metric = (
-            (step.potential is None and not full)
+            (step.potential is None and metric_kind == "diag")
             or isinstance(step.potential, (QuadPotentialDiag,
                                            QuadPotentialDiagAdapt))
         )
@@ -993,7 +1030,7 @@ def sample(
     # The whole init is jitted: eager op-by-op dispatch is slow enough on
     # some backends to dominate short runs.
     has_potential = step.potential is not None
-    init_fn = _make_init_fn(step.config, logp_grad, model_ndim, full, dtype, has_potential)
+    init_fn = _make_init_fn(step.config, logp_grad, model_ndim, metric_kind, dtype, has_potential)
     if has_potential:
         states0 = init_fn(chain_keys, starts, _broadcast_potential(step.potential, chains))
     else:
@@ -1087,7 +1124,7 @@ def sample(
         pot_template = step.potential
         if pot_template is None:
             pot_template = _make_adaptive_potential(
-                model_ndim, jnp.zeros(model_ndim, dtype), full, dtype)
+                model_ndim, jnp.zeros(model_ndim, dtype), metric_kind, dtype)
         # Fusable metric shapes: per-chain diagonal (adaptation on core),
         # static dense, or pooled adaptive metrics (draw phase only — the
         # factory declines tune chunks and the per-draw path covers them).
