@@ -8,7 +8,7 @@ where that saves work. Each model is a plain object with ``ndim``,
 directly to ``sample(logp_dlogp_func=...)``.
 """
 
-from .gaussian import StandardNormal, CorrelatedGaussian
+from .gaussian import StandardNormal, CorrelatedGaussian, SpikedGaussian
 from .funnel import NealsFunnel, NonCenteredFunnel
 from .logistic import LogisticRegression, german_credit_synthetic
 from .eight_schools import EightSchools
@@ -18,6 +18,7 @@ from .hierarchical import HierarchicalRegression
 __all__ = [
     "StandardNormal",
     "CorrelatedGaussian",
+    "SpikedGaussian",
     "NealsFunnel",
     "NonCenteredFunnel",
     "LogisticRegression",

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["StandardNormal", "CorrelatedGaussian"]
+__all__ = ["StandardNormal", "CorrelatedGaussian", "SpikedGaussian"]
 
 
 class StandardNormal:
@@ -131,3 +131,65 @@ class CorrelatedGaussian:
 
             self._traj_spec = PallasModelSpec(fn, (prec_pad,), n)
         return self._traj_spec
+
+
+class SpikedGaussian:
+    """Zero-mean Gaussian with spiked covariance ``S(I + V(Λ−I)Vᵀ)S``.
+
+    The adversary for diagonal mass matrices: after standardization the
+    covariance keeps ``k`` spike eigenvalues ``λᵢ ≫ 1`` while the bulk
+    deflates well below 1, so ``adapt_diag`` needs trees
+    ``~log2(sqrt(λmax/α))`` deeper than a metric that models the spikes.
+    This is the geometry ``QuadPotentialLowRankAdapt``
+    (``init="adapt_lowrank"``) is built for; the dense metric fixes it
+    too at O(n²) cost. No reference counterpart (its docs ship no
+    models; the closest is our ``CorrelatedGaussian`` — BASELINE
+    config 2).
+
+    ``logp_grad`` uses the structured precision
+    ``Σ⁻¹ = S⁻¹(I + V(λ⁻¹−1)Vᵀ)S⁻¹`` — exact in O(nk), never
+    materializing an ``n×n`` matrix, so large-``ndim`` benchmarks stay
+    cheap and every product maps onto the MXU as ``(C, n) @ (n, k)``
+    panels.
+    """
+
+    def __init__(self, ndim: int = 100, rank: int = 4,
+                 spikes=(400.0, 100.0, 25.0, 9.0), scale_range=(0.1, 10.0),
+                 dtype=jnp.float32, seed: int = 7):
+        self.ndim = int(ndim)
+        self.rank = int(rank)
+        self.dtype = dtype
+        rng = np.random.RandomState(seed)
+        V = np.linalg.qr(rng.standard_normal((ndim, self.rank)))[0]
+        lam = np.asarray(spikes[: self.rank], np.float64)
+        s = np.exp(np.sort(rng.uniform(np.log(scale_range[0]),
+                                       np.log(scale_range[1]), ndim)))
+        self.V = V
+        self.lam = lam
+        self.scales = s
+        self.true_mean = np.zeros(ndim)
+        # diag(Σ) = s² (1 + Σᵢ (λᵢ−1) Vᵢ²)
+        self.true_var = s ** 2 * (1.0 + ((lam - 1.0) * V ** 2).sum(axis=1))
+        self._V = jnp.asarray(V, dtype)
+        self._ilam_m1 = jnp.asarray(1.0 / lam - 1.0, dtype)
+        self._inv_s = jnp.asarray(1.0 / s, dtype)
+
+    def _neg_prec_matvec(self, q: jax.Array) -> jax.Array:
+        x = q * self._inv_s
+        c = jnp.dot(x, self._V, precision="highest",
+                    preferred_element_type=x.dtype)
+        y = x + jnp.dot(self._ilam_m1 * c, self._V.T, precision="highest",
+                        preferred_element_type=x.dtype)
+        return -y * self._inv_s
+
+    def logp(self, q: jax.Array) -> jax.Array:
+        return 0.5 * jnp.dot(q, self._neg_prec_matvec(q))
+
+    def logp_grad(self, q: jax.Array):
+        g = self._neg_prec_matvec(q)
+        return 0.5 * jnp.dot(q, g), g
+
+    def batched_logp_grad(self, q: jax.Array):
+        """Chain-batched ``(logp, grad)`` for ``q: (chains, n)``."""
+        g = self._neg_prec_matvec(q)
+        return 0.5 * jnp.sum(q * g, axis=-1), g

@@ -125,6 +125,23 @@ def main():
         chains=256 // scale, tune=500 // scale, draws=1000 // scale,
         init="jitter+adapt_full", cross_chain_adapt=True,
     )
+    results["spiked_gaussian_100d_diag"] = run_config(
+        "100-d spiked Gaussian, diag adapt (contrast row for adapt_lowrank)",
+        models.SpikedGaussian(100),
+        chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
+        pallas=False,  # no hand spec; the TPU auto-lowering path applies
+        annotations={"note": "diag metric cannot model the spikes; "
+                     "expect trees ~1.5 levels deeper than the lowrank row"},
+    )
+    results["spiked_gaussian_100d_lowrank"] = run_config(
+        "100-d spiked Gaussian, low-rank+diag adapt (extension)",
+        models.SpikedGaussian(100),
+        chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
+        init="jitter+adapt_lowrank",
+        pallas=False,  # the lowrank metric runs the XLA tree path
+        annotations={"note": "QuadPotentialLowRankAdapt, pooled cross-chain "
+                     "subspace iteration (auto-promoted at >=128 chains)"},
+    )
     results["funnel_10d"] = run_config(
         "Neal's funnel 10-d, centered (config 3) — STRESS CONFIG",
         models.NealsFunnel(10),

@@ -2,8 +2,8 @@
 
 ``QuadPotentialLowRankAdapt`` is an extension beyond the reference's
 metric family (diag or dense only, ``/root/reference/littlemcmc/
-quadpotential.py``): ``Σ̂ = S (I + V(Λ−I)Vᵀ) S`` with O(nk) matvecs and
-O(nk + mn) per-chain state, giving large-n runs most of the dense
+quadpotential.py``): ``Σ̂ = S (α(I−VVᵀ) + VΛVᵀ) S`` with O(nk) matvecs
+and O(nk + mn) per-chain state, giving large-n runs most of the dense
 metric's benefit at a cost that fits per-chain in VMEM. Coverage:
 
 - exact linear-algebra invariants against a dense reconstruction
@@ -210,3 +210,44 @@ def test_lowrank_beats_diag_on_spiked_target():
             progressbar=False)
         depths[init] = float(np.mean(np.asarray(stats["depth"])))
     assert depths["jitter+adapt_lowrank"] < depths["jitter+adapt_diag"] - 0.5, depths
+
+
+def test_pooled_lowrank_sharded_equals_unsharded(eight_device_mesh):
+    """The pooled subspace iteration under a chains-sharded mesh: the
+    cross-chain ``Zᵀ(ZV)`` products become XLA collectives. Exact match
+    only holds over a short horizon (cross-device reduction order
+    differs in the last ulps and NUTS branching amplifies it — same
+    protocol as ``test_model_axis_shards_dense_metric``); the long
+    horizon gates statistics and the pooled-state invariants."""
+    n = 8
+    Sigma = _spiked_sigma(n, 2, lams=(25.0, 9.0))
+    Prec = jnp.asarray(np.linalg.inv(Sigma), jnp.float32)
+
+    def logp_grad(q):
+        g = -Prec @ q
+        return 0.5 * jnp.dot(q, g), g
+
+    common = dict(
+        logp_dlogp_func=logp_grad, model_ndim=n, chains=16, random_seed=13,
+        init="jitter+adapt_lowrank", cross_chain_adapt=True,
+        progressbar=False, return_final_state=True,
+    )
+
+    # short horizon: sharded == replicated up to reduction-order noise
+    t_plain, _, _ = lmc.sample(tune=4, draws=1, **common)
+    t_shard, _, _ = lmc.sample(tune=4, draws=1, mesh=eight_device_mesh,
+                               **common)
+    np.testing.assert_allclose(np.asarray(t_plain), np.asarray(t_shard),
+                               atol=1e-3)
+
+    # longer horizon: correct posterior + replicated pooled metric
+    tr, stats, final = lmc.sample(tune=300, draws=300,
+                                  mesh=eight_device_mesh, **common)
+    flat = np.asarray(tr).reshape(-1, n)
+    sd_ratio = flat.std(axis=0) / np.sqrt(np.diag(Sigma))
+    assert sd_ratio.min() > 0.85 and sd_ratio.max() < 1.15, sd_ratio
+    assert float(np.mean(np.asarray(stats["diverging"]))) < 0.02
+    vecs = np.asarray(final.potential.vecs)
+    np.testing.assert_allclose(vecs[0], vecs[-1], atol=1e-6)
+    V = vecs[0]
+    np.testing.assert_allclose(V.T @ V, np.eye(V.shape[1]), atol=1e-5)

@@ -18,8 +18,10 @@ from littlemcmc_tpu import models
         models.LogisticRegression(*models.german_credit_synthetic(100, 6)),
         models.EightSchools(),
         models.LinearRegression(20),
+        models.SpikedGaussian(16, rank=2, spikes=(25.0, 9.0)),
     ],
-    ids=["stdnormal", "corrgauss", "funnel", "logistic", "8schools", "linreg"],
+    ids=["stdnormal", "corrgauss", "funnel", "logistic", "8schools", "linreg",
+         "spiked"],
 )
 def test_analytic_grad_matches_autodiff(model):
     key = jax.random.key(0)
@@ -164,3 +166,19 @@ def test_hierarchical_regression_lowers_and_recovers():
     mu_hat = tr[:, 0].mean()
     assert abs(mu_hat - model.true_mu) < 0.5  # partial pooling: wide tol
     assert np.asarray(stats["diverging"]).mean() < 0.02
+
+
+def test_spiked_gaussian_structured_precision_exact():
+    """The O(nk) structured precision matches a dense reconstruction."""
+    m = models.SpikedGaussian(24, rank=3, spikes=(100.0, 25.0, 9.0))
+    S = np.diag(m.scales)
+    Sigma = S @ (np.eye(24) + m.V @ np.diag(m.lam - 1) @ m.V.T) @ S
+    q = np.random.RandomState(1).standard_normal(24).astype(np.float32)
+    lp, g = m.logp_grad(jnp.asarray(q))
+    g_ref = -np.linalg.solve(Sigma, q)
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-3, atol=1e-4)
+    assert np.isclose(float(lp), 0.5 * q @ g_ref, rtol=1e-3)
+    lps, gs = m.batched_logp_grad(jnp.asarray(q[None]))
+    np.testing.assert_allclose(np.asarray(gs[0]), g_ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.diag(Sigma), m.true_var, rtol=1e-6)
