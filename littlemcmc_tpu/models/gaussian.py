@@ -173,6 +173,7 @@ class SpikedGaussian:
         self._V = jnp.asarray(V, dtype)
         self._ilam_m1 = jnp.asarray(1.0 / lam - 1.0, dtype)
         self._inv_s = jnp.asarray(1.0 / s, dtype)
+        self._traj_spec = None
 
     def _neg_prec_matvec(self, q: jax.Array) -> jax.Array:
         x = q * self._inv_s
@@ -193,3 +194,39 @@ class SpikedGaussian:
         """Chain-batched ``(logp, grad)`` for ``q: (chains, n)``."""
         g = self._neg_prec_matvec(q)
         return 0.5 * jnp.sum(q * g, axis=-1), g
+
+    def pallas_trajectory_spec(self):
+        """Inlineable model for the whole-trajectory Pallas NUTS kernel.
+
+        The structured precision becomes two thin MXU matmuls per eval;
+        the factor constants are padded to full 128-lane tiles so Mosaic
+        sees standard shapes (zero columns contribute nothing).
+        """
+        if self._traj_spec is None:
+            from ..ops import PallasModelSpec
+            from ..ops.nuts_trajectory_pallas import padded_dim
+
+            n, k = self.ndim, self.rank
+            npad = padded_dim(n)
+            KP = 128
+            Vp = jnp.zeros((npad, KP), jnp.float32).at[:n, :k].set(
+                jnp.asarray(self.V, jnp.float32))
+            il = jnp.zeros((8, KP), jnp.float32).at[0, :k].set(
+                jnp.asarray(1.0 / self.lam - 1.0, jnp.float32))
+            inv_s = jnp.zeros((8, npad), jnp.float32).at[0, :n].set(
+                jnp.asarray(1.0 / self.scales, jnp.float32))
+
+            def fn(q, Vp, il, inv_s):
+                x = q * inv_s[0:1, :]
+                c = jax.lax.dot_general(
+                    x, Vp, dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision="highest", preferred_element_type=jnp.float32)
+                y = x + jax.lax.dot_general(
+                    c * il[0:1, :], Vp,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision="highest", preferred_element_type=jnp.float32)
+                g = -y * inv_s[0:1, :]
+                return 0.5 * jnp.sum(q * g, axis=1, keepdims=True), g
+
+            self._traj_spec = PallasModelSpec(fn, (Vp, il, inv_s), n)
+        return self._traj_spec

@@ -659,6 +659,25 @@ def _shared_dense_cov(potential, pooled: bool = False):
     return None
 
 
+def _shared_lowrank_factor(potential, pooled: bool = False):
+    """``(stds, V, lam, alpha)`` of a pooled low-rank metric, or None.
+
+    Only the *pooled* ``QuadPotentialLowRankAdapt`` qualifies: the
+    driver overwrites every chain's basis/eigenvalues/diagonal with the
+    cross-chain pooled estimate each tuning step, so row 0 carries the
+    shared factor at every kernel entry (the same contract as the
+    pooled dense path, :func:`_shared_dense_cov`). Per-chain low-rank
+    adaptation keeps a distinct basis per chain — a ``(C, n, k)`` VMEM
+    resident the kernel does not model — and runs the XLA tree.
+    """
+    from .quadpotential import QuadPotentialLowRankAdapt
+
+    if pooled and isinstance(potential, QuadPotentialLowRankAdapt):
+        return (potential.stds, potential.vecs[0], potential.lam[0],
+                potential.alpha[0])
+    return None
+
+
 @functools.lru_cache(maxsize=512)
 def build_nuts_kernel(
     logp_grad_fn: LogpGradFn,
@@ -732,15 +751,23 @@ def build_nuts_kernel(
             else:
                 var_b = _shared_dense_cov(states.potential,
                                           pooled=pooled_metric)
-                if var_b is None:
-                    raise ValueError(
-                        "the Pallas trajectory path requires a diagonal "
-                        "metric (QuadPotentialDiag / QuadPotentialDiagAdapt), "
-                        "a static shared dense metric (QuadPotentialFull), or "
-                        "a cross-chain pooled adaptive dense metric "
-                        "(QuadPotentialFullAdapt with cross_chain_adapt=True)"
-                    )
-                metric = "dense"
+                if var_b is not None:
+                    metric = "dense"
+                else:
+                    var_b = _shared_lowrank_factor(states.potential,
+                                                   pooled=pooled_metric)
+                    if var_b is None:
+                        raise ValueError(
+                            "the Pallas trajectory path requires a diagonal "
+                            "metric (QuadPotentialDiag / "
+                            "QuadPotentialDiagAdapt), a static shared dense "
+                            "metric (QuadPotentialFull), a cross-chain pooled "
+                            "adaptive dense metric (QuadPotentialFullAdapt "
+                            "with cross_chain_adapt=True), or a cross-chain "
+                            "pooled low-rank metric (QuadPotentialLowRankAdapt "
+                            "with cross_chain_adapt=True)"
+                        )
+                    metric = "lowrank"
             from .ops.nuts_trajectory_pallas import (build_trajectory_op,
                                                      resolve_pack)
 
@@ -788,7 +815,13 @@ def build_nuts_kernel(
                                          jnp.int32(0)])
                     return traj_op(q, p, g, lp, eps, mdc, var, sd)
 
-                Pv = Pc if metric == "diag" else Pr  # shared cov replicates
+                if metric == "diag":
+                    Pv = Pc
+                elif metric == "lowrank":
+                    # per-chain stds shard; the pooled factor replicates
+                    Pv = (Pc, Pr, Pr, Pr)
+                else:
+                    Pv = Pr  # shared cov replicates
                 traj_call = shard_map(
                     traj_local, mesh=mesh,
                     in_specs=(Pc, Pc, Pc, Pc, Pc, Pc, Pv, Pr),

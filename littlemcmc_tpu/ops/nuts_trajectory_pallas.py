@@ -641,8 +641,46 @@ def _run_transition(lanes, refs, model, uniform, velE, velC, Emax,
     lax.while_loop(outer_cond, outer_body, (jnp.int32(0), cont0))
 
 
+def _make_lowrank_velocities(stds, fac, kf: int):
+    """Velocity closures for the spiked (low-rank+diag) metric.
+
+    ``stds`` is the per-chain ``(RW, Npad)`` diagonal scale (zero past
+    column n); ``fac`` is the shared factor block: rows ``0..kf-1`` hold
+    ``Vᵀ`` (zero past column n), row ``kf`` holds the eigenvalues λ in
+    lanes ``0..kf-1``, row ``kf+1`` holds the residual-bulk α broadcast
+    into every lane. ``velocity(p) = S(α x + V((λ−α)·(Vᵀx)))`` with
+    ``x = S p`` — two elementwise rows plus two thin ``(RW, Npad) x
+    (Npad, kf)``-shaped MXU matmuls, the same construct family as the
+    dense metric's ``p @ COV``. Only static lane slices are used
+    (Mosaic has no dynamic lane indexing).
+    """
+    Vt = fac[:kf, :]                      # (kf, Npad)
+    lam_k = fac[kf:kf + 1, :kf]           # (1, kf)
+    alpha_row = fac[kf + 1:kf + 2, :]     # (1, Npad), α in every lane
+    alpha_k = fac[kf + 1:kf + 2, :kf]     # (1, kf)
+
+    def _vel(p_, precision):
+        x = stds * p_
+        c = jax.lax.dot_general(
+            x, Vt, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        y = alpha_row * x + jnp.dot(
+            c * (lam_k - alpha_k), Vt,
+            precision=precision, preferred_element_type=jnp.float32)
+        return stds * y
+
+    def velE(p_):
+        return _vel(p_, "highest")
+
+    def velC(p_):
+        # U-turn decisions tolerate the fast default (see make_velocities)
+        return _vel(p_, None)
+
+    return velE, velC
+
+
 def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
-                       metric="diag", prng="tpu", pack=1):
+                       metric="diag", prng="tpu", pack=1, lowrank_k=0):
     """The per-draw kernel: one NUTS transition per ``pallas_call``."""
     del D  # stack depth is carried by the scratch ref shapes
     K = int(pack)           # chains per VPU row
@@ -651,6 +689,8 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
     assert CB % K == 0 and Npad % K == 0 and SEG >= n + _N_SCALARS
 
     def kernel(seed_ref, q0, p0, g0, sin, var, *rest):
+        if metric == "lowrank":
+            fac_ref, rest = rest[0], rest[1:]
         consts_refs = rest[:n_consts]
         q_out, g_out, so = rest[n_consts:n_consts + 3]
         (l_q, l_p, l_g, r_q, r_p, r_g, c_q, c_p, c_g, pr_q, psum,
@@ -665,7 +705,11 @@ def _build_kernel_body(model_fn, n_consts, n, Npad, CB, D, Emax, coeffs,
         consts = tuple(r[:] for r in consts_refs)
         lanes = _Lanes(n, Npad, RW, K)
         model = lanes.make_model(model_fn, consts)
-        velE, velC = lanes.make_velocities(var[:], metric)
+        if metric == "lowrank":
+            velE, velC = _make_lowrank_velocities(var[:], fac_ref[:],
+                                                  lowrank_k)
+        else:
+            velE, velC = lanes.make_velocities(var[:], metric)
 
         refs = dict(
             l_q=l_q, l_p=l_p, l_g=l_g, r_q=r_q, r_p=r_p, r_g=r_g,
@@ -754,9 +798,13 @@ def build_trajectory_op(
     (reduced to a divisor of C if needed).
 
     ``metric``: ``"diag"`` (``var`` is the per-chain ``(C, n)``
-    inverse-mass diagonal) or ``"dense"`` (``var`` is one ``(n, n)``
+    inverse-mass diagonal), ``"dense"`` (``var`` is one ``(n, n)``
     covariance shared by all chains; velocities become matmuls in the
-    kernel).
+    kernel), or ``"lowrank"`` (``var`` is a ``(stds, V, lam, alpha)``
+    tuple: per-chain ``(C, n)`` diagonal scales plus a shared
+    orthonormal ``(n, k)`` basis, ``(k,)`` eigenvalues, and scalar
+    residual bulk — the pooled ``QuadPotentialLowRankAdapt`` factor;
+    velocities are thin ``(CB, Npad) @ (Npad, k)`` matmuls).
 
     ``prng``: ``"tpu"`` (on-core ``pltpu.prng_*``, TPU only) or
     ``"counter"`` (murmur3 counter stream in plain XLA ops — the only
@@ -834,8 +882,24 @@ def build_trajectory_op(
         qp = pack_rows(q)
         pp = pack_rows(p)
         gp = pack_rows(grad)
+        facp = None
+        lowrank_k = 0
         if metric == "diag":
             vp = pack_rows(var)
+        elif metric == "lowrank":
+            # var = (stds, V, lam, alpha): per-chain diagonal scale plus
+            # the shared spiked factor, packed into one (FR, Npad) block
+            # (Vᵀ rows, a λ row, an α-broadcast row; FR padded to the
+            # f32 sublane multiple)
+            stds, Vf, lam_f, alpha_f = var
+            vp = pack_rows(stds)
+            lowrank_k = Vf.shape[1]
+            FR = round_up(lowrank_k + 2, 8)
+            facp = jnp.zeros((FR, Npad), f32)
+            facp = facp.at[:lowrank_k, :n].set(Vf.astype(f32).T)
+            facp = facp.at[lowrank_k, :lowrank_k].set(lam_f.astype(f32))
+            facp = facp.at[lowrank_k + 1, :].set(
+                jnp.asarray(alpha_f, f32))
         else:  # shared (n, n) covariance, zero-padded square (K == 1)
             vp = jnp.pad(var.astype(f32), ((0, Npad - n), (0, Npad - n)))
         sin_w = _N_IN * K
@@ -852,9 +916,15 @@ def build_trajectory_op(
         grid = (RT // RW,)
         row_spec = pl.BlockSpec((RW, Npad), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
-        var_spec = (row_spec if metric == "diag"
+        var_spec = (row_spec if metric in ("diag", "lowrank")
                     else pl.BlockSpec((Npad, Npad), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
+        fac_specs = []
+        fac_args = []
+        if metric == "lowrank":
+            fac_specs = [pl.BlockSpec(facp.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)]
+            fac_args = [facp]
         in_spec = pl.BlockSpec((RW, sin_w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
         out_sc_spec = pl.BlockSpec((RW, _N_OUT * K), lambda i: (i, 0),
@@ -881,21 +951,21 @@ def build_trajectory_op(
 
         kernel = _build_kernel_body(
             model_fn, n_consts, n, Npad, CB, D, float(Emax), coeffs,
-            metric=metric, prng=prng, pack=K,
+            metric=metric, prng=prng, pack=K, lowrank_k=lowrank_k,
         )
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       row_spec, row_spec, row_spec, in_spec, var_spec]
-                     + const_specs,
+                     + fac_specs + const_specs,
             out_shape=out_shapes,
             out_specs=out_specs,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_bytes),
             interpret=interpret,
-        )(seed1, qp, pp, gp, sin, vp, *consts)
+        )(seed1, qp, pp, gp, sin, vp, *fac_args, *consts)
 
         q_o, g_o, so = outs
 

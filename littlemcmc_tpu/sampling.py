@@ -969,10 +969,19 @@ def sample(
             or isinstance(step.potential, (QuadPotentialDiag,
                                            QuadPotentialDiagAdapt))
         )
+        # the NUTS trajectory kernel also models the pooled low-rank
+        # metric (shared factor, metric="lowrank"); per-chain low-rank
+        # and the HMC kernel stay on the XLA tree
+        lowrank_pooled = (
+            bool(cross_chain_adapt)
+            and isinstance(step, NUTS)
+            and ((step.potential is None and metric_kind == "lowrank")
+                 or isinstance(step.potential, QuadPotentialLowRankAdapt))
+        )
         spec = None
         if (
             model_axis is None  # model-sharded runs stay on the XLA tree
-            and diag_metric
+            and (diag_metric or lowrank_pooled)
             and usable_block  # kernel needs a chain-block divisor >= 8
             and jnp.dtype(dtype) == jnp.float32
             and not step.pallas_interpret  # interpret users pass a spec

@@ -369,3 +369,78 @@ def test_unblockable_chain_count_raises_value_error():
     with pytest.raises(ValueError, match="chains=25"):
         traj(q, q, q, v, v + 0.1, jnp.full((C,), 4, jnp.int32),
              jnp.ones((C, 4), jnp.float32), jnp.int32(0))
+
+
+def test_interpret_lowrank_metric_pallas_path():
+    """Pooled low-rank metric in the trajectory kernel (interpret mode).
+
+    The spiked Gaussian is the target the metric exists for; the pooled
+    factor (shared V/λ/α + per-chain stds) runs as metric="lowrank"
+    inside the kernel. Gates: correct variances, near-zero divergences,
+    and visibly shallower trees than the diag metric on the same target.
+    """
+    C, N = 64, 16
+    model = models.SpikedGaussian(N, rank=2, spikes=(100.0, 25.0))
+    step = lmc.NUTS(model_ndim=N,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    trace, stats = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=N,
+                              draws=300, tune=300, chains=C, random_seed=9,
+                              step=step, init="jitter+adapt_lowrank",
+                              cross_chain_adapt=True, progressbar=False)
+    tr = np.asarray(trace)
+    vr = tr.reshape(-1, N).var(axis=0) / model.true_var
+    assert vr.min() > 0.8 and vr.max() < 1.25, vr
+    assert np.asarray(stats["diverging"]).mean() < 0.01
+
+    step_d = lmc.NUTS(model_ndim=N,
+                      pallas_trajectory=model.pallas_trajectory_spec(),
+                      pallas_interpret=True)
+    _, stats_d = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=N,
+                            draws=300, tune=300, chains=C, random_seed=9,
+                            step=step_d, init="jitter+adapt_diag",
+                            progressbar=False)
+    depth_lr = float(np.mean(np.asarray(stats["depth"])))
+    depth_d = float(np.mean(np.asarray(stats_d["depth"])))
+    assert depth_lr < depth_d - 0.4, (depth_lr, depth_d)
+
+
+def test_interpret_lowrank_composes_with_mesh():
+    """metric="lowrank" under shard_map: per-chain stds shard over the
+    chain axis, the pooled factor replicates."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU backend")
+    N = 16
+    model = models.SpikedGaussian(N, rank=2, spikes=(64.0, 16.0))
+    step = lmc.NUTS(model_ndim=N,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    trace, stats = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=N,
+                              draws=200, tune=200, chains=64, random_seed=10,
+                              step=step, mesh=mesh,
+                              init="jitter+adapt_lowrank",
+                              cross_chain_adapt=True, progressbar=False)
+    tr = np.asarray(trace)
+    vr = tr.reshape(-1, N).var(axis=0) / model.true_var
+    assert vr.min() > 0.8 and vr.max() < 1.25, vr
+    assert np.asarray(stats["diverging"]).mean() < 0.01
+
+
+@requires_tpu
+def test_lowrank_metric_pallas_path():
+    """Cross-chain pooled low-rank metric in the kernel on real TPU."""
+    C, N = 128, 16
+    model = models.SpikedGaussian(N, rank=2, spikes=(100.0, 25.0))
+    step = lmc.NUTS(model_ndim=N,
+                    pallas_trajectory=model.pallas_trajectory_spec())
+    trace, stats = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=N,
+                              draws=400, tune=300, chains=C, random_seed=9,
+                              step=step, init="jitter+adapt_lowrank",
+                              cross_chain_adapt=True, progressbar=False)
+    tr = np.asarray(trace)
+    vr = tr.reshape(-1, N).var(axis=0) / model.true_var
+    assert vr.min() > 0.8 and vr.max() < 1.25
+    assert np.asarray(stats["diverging"]).mean() < 0.01
