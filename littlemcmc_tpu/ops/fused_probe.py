@@ -34,7 +34,8 @@ _log = logging.getLogger("littlemcmc_tpu")
 _CACHE: dict = {}
 
 __all__ = ["fused_engine_supported", "probe_cos", "probe_grid_scratch",
-           "probe_smem_accumulate"]
+           "probe_smem_accumulate", "probe_thin_factor",
+           "lowrank_kernel_supported"]
 
 
 def probe_cos(interpret: bool = False) -> bool:
@@ -155,6 +156,88 @@ def probe_smem_accumulate(interpret: bool = False) -> bool:
     expect = sum((x * w) .T @ (x * w) for w in range(1, T + 1))
     return (bool(np.allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-4))
             and float(np.asarray(cnt)[0, 0]) == float(T + 1))
+
+
+def probe_thin_factor(interpret: bool = False) -> bool:
+    """The low-rank metric's kernel constructs lower and run correctly.
+
+    Exercises what ``metric="lowrank"`` adds over the dense path
+    (:func:`.nuts_trajectory_pallas._make_lowrank_velocities`): static
+    sublane slices of a small factor block (``fac[:k]``, single rows
+    ``fac[k:k+1]``), a thin lane-contracting ``dot_general``
+    ``(R, N) x (k, N) -> (R, k)``, and the thin expansion back
+    ``(R, k) x (k, N) -> (R, N)``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, N, k = 8, 128, 8
+
+    def kernel(x_ref, fac_ref, o_ref):
+        x = x_ref[:]
+        fac = fac_ref[:]
+        Vt = fac[:k, :]
+        lam_k = fac[k:k + 1, :k]
+        alpha_row = fac[k + 1:k + 2, :]
+        alpha_k = fac[k + 1:k + 2, :k]
+        c = jax.lax.dot_general(
+            x, Vt, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision="highest", preferred_element_type=jnp.float32)
+        o_ref[:] = alpha_row * x + jnp.dot(
+            c * (lam_k - alpha_k), Vt,
+            precision="highest", preferred_element_type=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    x = rng.standard_normal((R, N)).astype(np.float32)
+    V = np.linalg.qr(rng.standard_normal((N, k)))[0].astype(np.float32)
+    lam = np.linspace(9.0, 0.25, k).astype(np.float32)
+    alpha = np.float32(0.37)
+    fac = np.zeros((16, N), np.float32)
+    fac[:k] = V.T
+    fac[k, :k] = lam
+    fac[k + 1, :] = alpha
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, N), jnp.float32),
+        interpret=interpret,
+    )(x, fac)
+    expect = alpha * x + (x @ V) * (lam - alpha) @ V.T
+    return bool(np.allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5))
+
+
+def lowrank_kernel_supported(interpret: bool = False) -> bool:
+    """True iff ``metric="lowrank"`` can run on this backend.
+
+    Consulted by the driver when *auto-selecting* the Pallas trajectory
+    for a pooled low-rank run, so a Mosaic gap degrades to the XLA tree
+    with a log line. Cached per backend like
+    :func:`fused_engine_supported`.
+    """
+    if interpret:
+        return True
+    import jax
+
+    key = ("lowrank", jax.default_backend())
+    if key not in _CACHE:
+        try:
+            ok = probe_thin_factor(interpret)
+        except Exception as e:
+            _log.info("Low-rank kernel probe failed to compile/run (%s: %s)",
+                      type(e).__name__, e)
+            ok = False
+        if not ok:
+            _log.warning(
+                "Pallas low-rank metric path disabled: Mosaic capability "
+                "probe failed on backend %r (thin factor matmuls / sublane "
+                "slices). Pooled adapt_lowrank runs the XLA tree instead.",
+                key[1])
+        _CACHE[key] = ok
+    return _CACHE[key]
 
 
 def fused_engine_supported(interpret: bool = False) -> bool:

@@ -978,6 +978,13 @@ def sample(
             and ((step.potential is None and metric_kind == "lowrank")
                  or isinstance(step.potential, QuadPotentialLowRankAdapt))
         )
+        if (lowrank_pooled and not step.pallas_interpret
+                and jax.default_backend() == "tpu"):
+            # one-time Mosaic capability probe (thin factor matmuls):
+            # a lowering gap degrades to the XLA tree with a log line
+            from .ops.fused_probe import lowrank_kernel_supported
+
+            lowrank_pooled = lowrank_kernel_supported(False)
         spec = None
         if (
             model_axis is None  # model-sharded runs stay on the XLA tree

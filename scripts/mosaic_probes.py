@@ -32,7 +32,8 @@ def main():
 
     from littlemcmc_tpu.ops.fused_probe import (probe_cos,
                                                 probe_grid_scratch,
-                                                probe_smem_accumulate)
+                                                probe_smem_accumulate,
+                                                probe_thin_factor)
 
     print("backend:", jax.default_backend(), jax.devices())
     ok_cos = probe_cos(INTERPRET)
@@ -42,7 +43,10 @@ def main():
     ok_smem = probe_smem_accumulate(INTERPRET)
     print("SMEM f32 scalars + rows-contraction accumulate:",
           "OK" if ok_smem else "FAIL")
-    sys.exit(0 if (ok_cos and ok_scratch and ok_smem) else 1)
+    ok_thin = probe_thin_factor(INTERPRET)
+    print("thin factor matmuls + sublane slices (lowrank metric):",
+          "OK" if ok_thin else "FAIL")
+    sys.exit(0 if (ok_cos and ok_scratch and ok_smem and ok_thin) else 1)
 
 
 if __name__ == "__main__":
