@@ -542,16 +542,27 @@ class QuadPotentialFullAdapt:
 
 
 def _orthonormal_columns(A: jax.Array) -> jax.Array:
-    """QR-orthonormalize the columns of ``A`` with a deterministic sign.
+    """Orthonormalize the columns of ``A`` (CholeskyQR, positive-R sign).
 
-    ``jnp.linalg.qr`` leaves each column's sign ambiguous; fixing it to
-    ``sign(diag(R))`` keeps adaptation streams reproducible and lets the
+    Computes the Q of a QR factorization as ``A L^{-T}`` with
+    ``L = chol(AᵀA)`` — the sign convention (``diag(R) > 0``) is built
+    in, keeping adaptation streams reproducible and letting the
     cross-chain pool average per-chain bases without cancellation.
+    CholeskyQR over Householder ``jnp.linalg.qr`` because the per-chain
+    update runs it *vmapped every draw*: two thin matmuls plus a k×k
+    factorization map onto the TPU MXU, where batched ``geqrf`` does
+    not. The κ(A)² conditioning loss is irrelevant here (A is a basis
+    plus a bounded subspace-iteration step; the jitter floor guards the
+    degenerate case).
     """
-    q, r = jnp.linalg.qr(A)
-    sign = jnp.sign(jnp.diagonal(r))
-    sign = jnp.where(sign == 0, jnp.ones_like(sign), sign)
-    return q * sign
+    G = jnp.dot(A.T, A, precision="highest",
+                preferred_element_type=A.dtype)
+    k = G.shape[0]
+    # jitter keeps the factorization defined if A ever loses rank
+    eps = 1e-6 * (jnp.trace(G) / k + 1.0)
+    L = jnp.linalg.cholesky(G + eps * jnp.eye(k, dtype=G.dtype))
+    return jax.scipy.linalg.solve_triangular(
+        L, A.T, lower=True).T
 
 
 def _effective_eigenvalues(
