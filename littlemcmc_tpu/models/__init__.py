@@ -14,6 +14,7 @@ from .logistic import LogisticRegression, german_credit_synthetic
 from .eight_schools import EightSchools
 from .linear import LinearRegression
 from .hierarchical import HierarchicalRegression
+from .stochvol import StochasticVolatility
 
 __all__ = [
     "StandardNormal",
@@ -26,4 +27,5 @@ __all__ = [
     "EightSchools",
     "LinearRegression",
     "HierarchicalRegression",
+    "StochasticVolatility",
 ]

@@ -202,6 +202,16 @@ def main():
         annotations={"note": "jnp.take group gather auto-lowered to one-hot "
                      "MXU matmuls inside the trajectory kernel"},
     )
+    sv = models.StochasticVolatility(T=500)
+    results["stochastic_volatility_503d"] = run_config(
+        "Stochastic volatility, T=500 (503 params, centered AR(1) states)",
+        sv,
+        chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
+        target_accept=0.95, pallas=False,  # no hand spec; auto path applies
+        annotations={"note": "large-ndim realistic geometry: funnel-like "
+                     "sigma-latent coupling; globals gate convergence",
+                     "gate": "divergence_rate < 0.05"},
+    )
     results["eight_schools_hmc"] = run_config(
         "Eight schools, classic HMC via the Pallas HMC kernel (C19)",
         models.EightSchools(),
