@@ -65,6 +65,7 @@ from .nuts_trajectory_pallas import (
     _S_PRLP,
     _Lanes,
     _make_counter_uniform,
+    _make_lowrank_velocities,
     _run_transition,
     _uniform,
     natural_pack,
@@ -139,6 +140,30 @@ def _dense_momentum(lanes, uniform, linv):
     z = _boxmuller_std(lanes, uniform)
     return jnp.dot(z, linv, precision="highest",
                    preferred_element_type=jnp.float32)
+
+
+def _lowrank_momentum(lanes, uniform, stds, fac, kf: int):
+    """Momentum for the spiked (low-rank+diag) metric: ``p = S⁻¹C^{−1/2}ζ``.
+
+    ``C^{−1/2}ζ = α^{−1/2}ζ + V((λ^{−1/2}−α^{−1/2})·(Vᵀζ))`` — the same
+    thin factor matmuls as the velocities
+    (:func:`..nuts_trajectory_pallas._make_lowrank_velocities`), drawn
+    from the density the kinetic energy ``½pᵀΣ̂p`` measures (exact f32).
+    Padding lanes are zeroed (their ``stds`` entries are zero-padding).
+    """
+    z = _boxmuller_std(lanes, uniform)
+    Vt = fac[:kf, :]
+    lam_k = fac[kf:kf + 1, :kf]
+    alpha_row = fac[kf + 1:kf + 2, :]
+    alpha_k = fac[kf + 1:kf + 2, :kf]
+    c = jax.lax.dot_general(
+        z, Vt, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision="highest", preferred_element_type=jnp.float32)
+    y = alpha_row ** -0.5 * z + jnp.dot(
+        c * (lam_k ** -0.5 - alpha_k ** -0.5), Vt,
+        precision="highest", preferred_element_type=jnp.float32)
+    qmask = lanes.qmask
+    return jnp.where(qmask, y / jnp.where(qmask, stds, 1.0), 0.0)
 
 
 # SMEM scalar slots for the pooled-dense Welford state (block-local)
@@ -425,6 +450,7 @@ def build_fused_nuts_op(
     collect_trace: bool = True,
     metric: str = "diag",
     adapt_dense: bool = False,
+    lowrank_k: int = 0,
 ):
     """Build the fused runner ``fused(args...) -> dict`` for one phase.
 
@@ -440,6 +466,15 @@ def build_fused_nuts_op(
     plus a ``(2,)`` int32 seed. Returns a dict with the ``(T, C, n)``
     trace, 13 ``(T, C)`` stat streams, and every updated state leaf.
 
+    ``metric="lowrank"`` (``lowrank_k`` = rank): the spiked pooled
+    metric. ``var`` carries the per-chain *variance* rows (adapting on
+    core under ``adapt_metric`` exactly like diag), and ``lowrank_fac``
+    the shared ``(V, λ, α)`` factor — frozen for the whole chunk;
+    velocities and the momentum draw are the thin factor matmuls of the
+    per-draw kernel. The caller refreshes the factor at chunk
+    boundaries (batch subspace iteration), the same boundary-cadence
+    scheme as ``adapt_dense``.
+
     ``adapt_dense`` (requires ``metric="dense"`` + ``tuning``): pooled
     dense adaptation on core. Each grid block carries a block-local
     pooled Welford covariance state in VMEM — seeded with 1/B of the
@@ -453,9 +488,10 @@ def build_fused_nuts_op(
     """
     if config.step_rand is not None:
         raise ValueError("the fused NUTS kernel does not support step_rand")
-    if metric not in ("diag", "dense"):
+    if metric not in ("diag", "dense", "lowrank"):
         raise ValueError(f"unknown metric {metric!r}")
     dense = metric == "dense"
+    lowrank = metric == "lowrank"
     if dense and adapt_metric:
         # per-CHAIN dense adaptation has no VMEM-resident representation;
         # pooled dense adaptation is adapt_dense (shared block state).
@@ -465,7 +501,10 @@ def build_fused_nuts_op(
     if adapt_dense and (not dense or not tuning or adapt_metric):
         raise ValueError("adapt_dense requires metric='dense', tuning=True "
                          "and per-chain adapt_metric=False")
-    if dense and pack != 1:
+    if lowrank and (adapt_dense or lowrank_k < 1):
+        raise ValueError("metric='lowrank' requires lowrank_k >= 1 and no "
+                         "adapt_dense (the factor is frozen per chunk)")
+    if (dense or lowrank) and pack != 1:
         raise ValueError("lane packing requires a diagonal metric")
     if prng is None:
         prng = "counter" if interpret else "tpu"
@@ -497,6 +536,7 @@ def build_fused_nuts_op(
 
     def kernel(seed_ref, *rest):
         linv0 = None
+        fac0 = None
         dwm0 = dwr0 = dbm0 = dbr0 = wscal0 = None
         if adapt_metric:
             q0, g0, sin, var0, fgm0, fgv0, bgm0, bgv0 = rest[:8]
@@ -511,6 +551,11 @@ def build_fused_nuts_op(
         else:
             q0, g0, sin, var0 = rest[:4]
             rest = rest[4:]
+        if lowrank:
+            # shared (FR, Npad) factor block: Vᵀ rows, λ row, α row —
+            # frozen for the whole chunk (boundary-cadence refresh)
+            fac0 = rest[0]
+            rest = rest[1:]
         consts_refs = rest[:n_consts]
         rest = rest[n_consts:]
         if adapt_metric:
@@ -594,7 +639,14 @@ def build_fused_nuts_op(
         lanes = _Lanes(n, Npad, RW, K)
         model = lanes.make_model(model_fn, tuple(r[:] for r in consts_refs))
         V = var_s[:] if adapt_metric else var0[:]
-        velE, velC = lanes.make_velocities(V, metric)
+        if lowrank:
+            # per-chain scale from the (possibly adapting) variance rows;
+            # padding entries are zero so the scale masks itself
+            stds_lr = jnp.sqrt(V)
+            velE, velC = _make_lowrank_velocities(stds_lr, fac0[:],
+                                                  lowrank_k)
+        else:
+            velE, velC = lanes.make_velocities(V, metric)
         if prng == "tpu":
             uniform = _uniform
         else:
@@ -626,6 +678,9 @@ def build_fused_nuts_op(
             si[:, 0:_LANE] = jnp.zeros((RW, _LANE), jnp.int32)
         if dense:
             p = _dense_momentum(lanes, mom_uniform, linv0[:])
+        elif lowrank:
+            p = _lowrank_momentum(lanes, mom_uniform, stds_lr, fac0[:],
+                                  lowrank_k)
         else:
             p = _boxmuller_momentum(lanes, mom_uniform, V)
 
@@ -714,7 +769,7 @@ def build_fused_nuts_op(
 
     def fused(q, grad, logp, iter_count, da_log_step, da_log_bar, da_hbar,
               da_count, da_mu, var, welford, seed, linv=None,
-              dense_welford=None):
+              dense_welford=None, lowrank_fac=None):
         """Run T transitions. ``welford`` is None or the 10-tuple
         ``(fg_mean, fg_raw, fg_w, fg_w2, bg_mean, bg_raw, bg_w, bg_w2,
         n_samples, window)``. Dense metric: ``var`` is the shared
@@ -731,6 +786,9 @@ def build_fused_nuts_op(
             raise ValueError("metric='dense' requires linv")
         if adapt_dense and dense_welford is None:
             raise ValueError("adapt_dense requires dense_welford")
+        if lowrank and lowrank_fac is None:
+            raise ValueError("metric='lowrank' requires lowrank_fac "
+                             "(V, lam, alpha)")
         C = q.shape[0]
         CB = min(chain_block * K, C)
         while CB >= 1 and (C % CB or CB % K):
@@ -767,6 +825,8 @@ def build_fused_nuts_op(
             invariant = const_bytes
             invariant += 2 * sq if dense else 0              # cov + linv
             invariant += (2 * sq + 2 * mrow) if adapt_dense else 0  # seeds
+            if lowrank:
+                invariant += 16 * Npad * 4                   # factor block
             return scratch + 2 * varying + invariant
 
         CB = shrink_chain_block(C, CB, K, _est_bytes, _fused_vmem_budget(),
@@ -841,6 +901,17 @@ def build_fused_nuts_op(
             inputs += [pack_rows(fgm), pack_rows(fgv), pack_rows(bgm),
                        pack_rows(bgv)]
             in_specs += [row_in] * 4
+        if lowrank:
+            Vf, lam_f, alpha_f = lowrank_fac
+            # lowrank_k + 2 rows used, padded to the f32 sublane tile
+            FR = max(16, ((lowrank_k + 2 + 7) // 8) * 8)
+            facp = jnp.zeros((FR, Npad), f32)
+            facp = facp.at[:lowrank_k, :n].set(Vf.astype(f32).T)
+            facp = facp.at[lowrank_k, :lowrank_k].set(lam_f.astype(f32))
+            facp = facp.at[lowrank_k + 1, :].set(jnp.asarray(alpha_f, f32))
+            inputs += [facp]
+            in_specs += [pl.BlockSpec((FR, Npad), lambda i, t: (0, 0),
+                                      memory_space=pltpu.VMEM)]
         B = (RT // RW)
         if adapt_dense:
             d_in, d_specs = _adapt_dense_inputs(dense_welford, B, Npad, n,

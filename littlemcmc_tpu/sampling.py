@@ -1151,17 +1151,23 @@ def sample(
         dense_ok = (isinstance(pot_template, QuadPotentialFull)
                     or (bool(cross_chain_adapt)
                         and isinstance(pot_template, QuadPotentialFullAdapt)))
+        lowrank_ok = (bool(cross_chain_adapt) and isinstance(step, NUTS)
+                      and isinstance(pot_template, QuadPotentialLowRankAdapt))
         # Auto mode consults the Mosaic capability probe (one-time, cached)
         # so an on-chip lowering regression degrades to the per-draw engine
         # instead of crashing the first fused chunk; an explicit
         # fuse_draws=True bypasses it to surface the real error.
         probe_ok = True
-        if (fuse_draws is None and (diag_ok or dense_ok)
+        if (fuse_draws is None and (diag_ok or dense_ok or lowrank_ok)
                 and usable_chain_count(local_chains, 256)):
             from .ops.fused_probe import fused_engine_supported
 
             probe_ok = fused_engine_supported(step.pallas_interpret)
-        if (diag_ok or dense_ok) and probe_ok \
+            if probe_ok and lowrank_ok:
+                from .ops.fused_probe import lowrank_kernel_supported
+
+                probe_ok = lowrank_kernel_supported(step.pallas_interpret)
+        if (diag_ok or dense_ok or lowrank_ok) and probe_ok \
                 and usable_chain_count(local_chains, 256):
             if isinstance(step, NUTS):
                 from .nuts import build_fused_nuts_runner_factory as _bff
@@ -1182,9 +1188,10 @@ def sample(
             "fuse_draws=True but the fused multi-draw kernel is unavailable "
             "for this configuration: it requires a Pallas trajectory spec, a "
             "NUTS/HamiltonianMC step with no step_rand hook, a diagonal, "
-            "static dense, or pooled adaptive dense metric (per-chain "
-            "adaptive dense excluded), no model_axis, and a lane-packable "
-            "per-device chain count (>= 8 chains per device)."
+            "static dense, pooled adaptive dense, or (NUTS) pooled low-rank "
+            "metric (per-chain adaptive dense/low-rank excluded), no "
+            "model_axis, and a lane-packable per-device chain count (>= 8 "
+            "chains per device)."
         )
 
     # --- The compiled sampling program -----------------------------------

@@ -804,3 +804,44 @@ def test_fused_probe_failure_gates_auto_selection(monkeypatch):
                         step=step, progressbar=False, fuse_draws=True,
                         progress_every=25)
     assert tr2.shape == (8, 50, 2)
+
+
+def test_fused_pooled_lowrank_e2e():
+    """Pooled adapt_lowrank: EVERY phase fused. Tune chunks run the
+    per-chain diagonal Welford on core with the shared factor frozen;
+    boundaries refresh the factor (weighted batch observation + batch
+    subspace iteration). Draw chunks run with the frozen spiked metric."""
+    model = models.SpikedGaussian(16, rank=2, spikes=(64.0, 16.0))
+    step = lmc.NUTS(model_ndim=16,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    common = dict(logp_dlogp_func=model.logp_grad, model_ndim=16,
+                  chains=32, tune=300, random_seed=9, step=step,
+                  progressbar=False, init="jitter+adapt_lowrank",
+                  cross_chain_adapt=True, progress_every=50,
+                  return_final_state=True)
+    tr, st, fs = lmc.sample(draws=400, fuse_draws=True, **common)
+    flat = np.asarray(tr).reshape(-1, 16)
+    vr = flat.var(0) / model.true_var
+    assert vr.min() > 0.9 and vr.max() < 1.1, vr
+    assert np.abs(flat.mean(0) / np.sqrt(model.true_var)).max() < 0.12
+    assert np.asarray(st["diverging"]).mean() < 0.02
+    # the shared factor is replicated (pooled) and orthonormal
+    vecs = np.asarray(fs.potential.vecs)
+    np.testing.assert_array_equal(vecs, np.broadcast_to(vecs[0], vecs.shape))
+    V = vecs[0]
+    # CholeskyQR's rank-loss jitter leaves orthonormality at ~2e-5
+    np.testing.assert_allclose(V.T @ V, np.eye(V.shape[1]), atol=1e-4)
+    lam = np.asarray(fs.potential.lam[0])
+    assert lam.max() > 1.5, lam  # the spike was learned
+    # diag Welford bookkeeping is engine-independent (same deterministic
+    # window schedule as the per-draw pooled engine)
+    _, _, fs_pd = lmc.sample(draws=50, fuse_draws=False, **common)
+    np.testing.assert_allclose(
+        float(np.asarray(fs.potential.fg.w_sum).sum()),
+        float(np.asarray(fs_pd.potential.fg.w_sum).sum()), rtol=1e-6)
+    # adaptation-endpoint parity: boundary-cadence factor refresh must
+    # land near the per-draw engine's adapted step size
+    step_f = float(np.exp(np.asarray(fs.da.log_bar)).mean())
+    step_pd = float(np.exp(np.asarray(fs_pd.da.log_bar)).mean())
+    assert abs(np.log(step_f / step_pd)) < np.log(1.5), (step_f, step_pd)
