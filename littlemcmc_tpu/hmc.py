@@ -313,6 +313,7 @@ def build_fused_hmc_runner_factory(
     from .ops.nuts_trajectory_pallas import resolve_pack
     from .quadpotential import (QuadPotentialDiag, QuadPotentialDiagAdapt,
                                 QuadPotentialFull, QuadPotentialFullAdapt,
+                                QuadPotentialLowRankAdapt,
                                 WelfordVariance)
     from .step_sizes import DualAverageState
 
@@ -321,21 +322,28 @@ def build_fused_hmc_runner_factory(
     dense_static = isinstance(potential_template, QuadPotentialFull)
     dense_pooled = pooled and isinstance(potential_template,
                                          QuadPotentialFullAdapt)
-    if not (diag_adapt or diag_static or dense_static or dense_pooled):
+    lowrank_pooled = pooled and isinstance(potential_template,
+                                           QuadPotentialLowRankAdapt)
+    if not (diag_adapt or diag_static or dense_static or dense_pooled
+            or lowrank_pooled):
         raise ValueError(
             "the fused HMC kernel requires a diagonal metric, a static "
             "dense metric (QuadPotentialFull), or a cross-chain pooled "
             "adaptive metric")
     dense = dense_static or dense_pooled
-    metric = "dense" if dense else "diag"
+    metric = ("dense" if dense
+              else "lowrank" if lowrank_pooled else "diag")
+    lowrank_k = potential_template.rank if lowrank_pooled else 0
     # pooled diag keeps per-chain accumulators (parallel/cross_chain.py),
     # so tune chunks fuse with the exact per-chain updates on core and
-    # pool once per chunk boundary — see the NUTS factory for details
-    adapt_metric = diag_adapt
+    # pool once per chunk boundary — see the NUTS factory for details.
+    # The low-rank metric's diagonal part follows the same scheme; its
+    # shared factor freezes per chunk and refreshes at boundaries.
+    adapt_metric = diag_adapt or lowrank_pooled
     window_multiplier = (potential_template.window_multiplier
                          if (adapt_metric or dense_pooled) else 1.0)
     pack = resolve_pack(trajectory_spec, model_ndim, local_chains) \
-        if not dense else 1
+        if not (dense or lowrank_pooled) else 1
 
     @functools.lru_cache(maxsize=64)
     def factory(chunk: int, tuning: bool, collect: bool):
@@ -344,17 +352,21 @@ def build_fused_hmc_runner_factory(
             trajectory_spec, model_ndim, chunk, bool(tuning),
             adapt_metric, config, window_multiplier,
             interpret=interpret, pack=pack, collect_trace=bool(collect),
-            metric=metric, adapt_dense=adapt_dense,
+            metric=metric, adapt_dense=adapt_dense, lowrank_k=lowrank_k,
         )
 
         def call_op(states: ChainState, seed, dense_welford=None):
             pot = states.potential
             linv = None
+            lowrank_fac = None
             if dense:
                 var = pot.cov[0]
                 linv = jax.scipy.linalg.solve_triangular(
                     pot.chol[0], jnp.eye(var.shape[0], dtype=var.dtype),
                     lower=True)
+            elif lowrank_pooled:
+                var = pot.var
+                lowrank_fac = (pot.vecs[0], pot.lam[0], pot.alpha[0])
             elif diag_adapt:
                 var = pot.var
             else:
@@ -366,6 +378,7 @@ def build_fused_hmc_runner_factory(
                 states.da.log_step, states.da.log_bar, states.da.hbar,
                 states.da.count.astype(jnp.float32), states.da.mu,
                 var, welford, seed, linv=linv, dense_welford=dense_welford,
+                lowrank_fac=lowrank_fac,
             )
 
         if mesh is not None:
@@ -439,23 +452,39 @@ def build_fused_hmc_runner_factory(
             if adapt_metric:
                 var = outs["var"]
                 stds = jnp.sqrt(var)
-                potential = QuadPotentialDiagAdapt(
-                    var=var, stds=stds, inv_stds=1.0 / stds,
-                    fg=WelfordVariance(
-                        w_sum=outs["fg_w"], w_sum2=outs["fg_w2"],
-                        mean=outs["fg_mean"], raw_var=outs["fg_raw"]),
-                    bg=WelfordVariance(
-                        w_sum=outs["bg_w"], w_sum2=outs["bg_w2"],
-                        mean=outs["bg_mean"], raw_var=outs["bg_raw"]),
-                    n_samples=outs["n_samples"].astype(jnp.int32),
-                    window=outs["window"].astype(jnp.int32),
-                    window_multiplier=window_multiplier,
-                )
-                if pooled and tuning:
-                    from .parallel.cross_chain import cross_chain_potential_pool
+                fg = WelfordVariance(
+                    w_sum=outs["fg_w"], w_sum2=outs["fg_w2"],
+                    mean=outs["fg_mean"], raw_var=outs["fg_raw"])
+                bg = WelfordVariance(
+                    w_sum=outs["bg_w"], w_sum2=outs["bg_w2"],
+                    mean=outs["bg_mean"], raw_var=outs["bg_raw"])
+                if lowrank_pooled:
+                    potential = states.potential.replace(
+                        var=var, stds=stds, inv_stds=1.0 / stds,
+                        fg=fg, bg=bg,
+                        n_samples=outs["n_samples"].astype(jnp.int32),
+                        window=outs["window"].astype(jnp.int32),
+                    )
+                    if tuning:
+                        from .parallel.cross_chain import (
+                            lowrank_boundary_refresh)
 
-                    potential = cross_chain_potential_pool(
-                        potential, jnp.asarray(True))
+                        potential = lowrank_boundary_refresh(
+                            potential, outs["q"])
+                else:
+                    potential = QuadPotentialDiagAdapt(
+                        var=var, stds=stds, inv_stds=1.0 / stds,
+                        fg=fg, bg=bg,
+                        n_samples=outs["n_samples"].astype(jnp.int32),
+                        window=outs["window"].astype(jnp.int32),
+                        window_multiplier=window_multiplier,
+                    )
+                    if pooled and tuning:
+                        from .parallel.cross_chain import (
+                            cross_chain_potential_pool)
+
+                        potential = cross_chain_potential_pool(
+                            potential, jnp.asarray(True))
             elif adapt_dense:
                 potential = _dense_boundary_potential(
                     states.potential, outs, dense_welford[0],
@@ -493,13 +522,14 @@ def build_fused_hmc_runner_factory(
 
         return run_chunk
 
-    if dense_pooled:
-        # Boundary-cadence dense adaptation: the metric refreshes only at
-        # chunk boundaries, so cap fused TUNE chunks to keep a Stan-like
-        # refresh cadence (~6+ refreshes over a default-length tune; with
-        # C pooled chains each boundary already sees C*cap fresh samples).
-        # Without the cap a single-chunk tune would adapt the step size
-        # against the initial metric for the whole phase (measured: final
-        # step 0.53 vs 1.00, trees ~2x deeper in the draw phase).
+    if dense_pooled or lowrank_pooled:
+        # Boundary-cadence adaptation: the shared metric (covariance /
+        # low-rank factor) refreshes only at chunk boundaries, so cap
+        # fused TUNE chunks to keep a Stan-like refresh cadence (~6+
+        # refreshes over a default-length tune; with C pooled chains each
+        # boundary already sees C*cap fresh samples). Without the cap a
+        # single-chunk tune would adapt the step size against the initial
+        # metric for the whole phase (measured: final step 0.53 vs 1.00,
+        # trees ~2x deeper in the draw phase).
         factory.tune_chunk_cap = 50
     return factory

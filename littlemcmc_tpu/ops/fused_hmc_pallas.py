@@ -53,6 +53,7 @@ from .fused_nuts_pallas import (
     _dense_welford_batch_add,
     _dense_welford_swap_and_count,
     _fused_vmem_budget,
+    _lowrank_momentum,
     _scalars_to_rows,
     _welford_update_rows,
     shrink_chain_block,
@@ -63,6 +64,7 @@ from .nuts_trajectory_pallas import (
     _N_SCALARS,
     _Lanes,
     _make_counter_uniform,
+    _make_lowrank_velocities,
     _uniform,
     natural_pack,
     padded_dim,
@@ -93,6 +95,7 @@ def build_fused_hmc_op(
     collect_trace: bool = True,
     metric: str = "diag",
     adapt_dense: bool = False,
+    lowrank_k: int = 0,
 ):
     """Build the fused HMC runner for one phase (see module docstring).
 
@@ -105,9 +108,10 @@ def build_fused_hmc_op(
     """
     if config.step_rand is not None:
         raise ValueError("the fused HMC kernel does not support step_rand")
-    if metric not in ("diag", "dense"):
+    if metric not in ("diag", "dense", "lowrank"):
         raise ValueError(f"unknown metric {metric!r}")
     dense = metric == "dense"
+    lowrank = metric == "lowrank"
     if dense and adapt_metric:
         raise ValueError("the fused HMC kernel adapts diagonal metrics "
                          "per chain; dense adaptation must be pooled "
@@ -115,7 +119,10 @@ def build_fused_hmc_op(
     if adapt_dense and (not dense or not tuning or adapt_metric):
         raise ValueError("adapt_dense requires metric='dense', tuning=True "
                          "and per-chain adapt_metric=False")
-    if dense and pack != 1:
+    if lowrank and (adapt_dense or lowrank_k < 1):
+        raise ValueError("metric='lowrank' requires lowrank_k >= 1 and no "
+                         "adapt_dense (the factor is frozen per chunk)")
+    if (dense or lowrank) and pack != 1:
         raise ValueError("lane packing requires a diagonal metric")
     if prng is None:
         prng = "counter" if interpret else "tpu"
@@ -146,6 +153,7 @@ def build_fused_hmc_op(
 
     def kernel(seed_ref, *rest):
         linv0 = None
+        fac0 = None
         dwm0 = dwr0 = dbm0 = dbr0 = wscal0 = None
         if adapt_metric:
             q0, g0, sin, var0, fgm0, fgv0, bgm0, bgv0 = rest[:8]
@@ -160,6 +168,10 @@ def build_fused_hmc_op(
         else:
             q0, g0, sin, var0 = rest[:4]
             rest = rest[4:]
+        if lowrank:
+            # shared (FR, Npad) factor block, frozen for the chunk
+            fac0 = rest[0]
+            rest = rest[1:]
         consts_refs = rest[:n_consts]
         rest = rest[n_consts:]
         if adapt_metric:
@@ -234,7 +246,11 @@ def build_fused_hmc_op(
         lanes = _Lanes(n, Npad, RW, K)
         model = lanes.make_model(model_fn, tuple(r[:] for r in consts_refs))
         V = var_s[:] if adapt_metric else var0[:]
-        velE, _ = lanes.make_velocities(V, metric)
+        if lowrank:
+            stds_lr = jnp.sqrt(V)  # zero padding masks itself
+            velE, _ = _make_lowrank_velocities(stds_lr, fac0[:], lowrank_k)
+        else:
+            velE, _ = lanes.make_velocities(V, metric)
         if prng == "tpu":
             uniform = _uniform
         else:
@@ -247,6 +263,9 @@ def build_fused_hmc_op(
 
         if dense:
             p = _dense_momentum(lanes, uniform, linv0[:])
+        elif lowrank:
+            p = _lowrank_momentum(lanes, uniform, stds_lr, fac0[:],
+                                  lowrank_k)
         else:
             p = _boxmuller_momentum(lanes, uniform, V)
 
@@ -321,12 +340,15 @@ def build_fused_hmc_op(
 
     def fused(q, grad, logp, iter_count, da_log_step, da_log_bar, da_hbar,
               da_count, da_mu, var, welford, seed, linv=None,
-              dense_welford=None):
+              dense_welford=None, lowrank_fac=None):
         """Run T HMC transitions; same input contract as the NUTS fused op."""
         if dense and linv is None:
             raise ValueError("metric='dense' requires linv")
         if adapt_dense and dense_welford is None:
             raise ValueError("adapt_dense requires dense_welford")
+        if lowrank and lowrank_fac is None:
+            raise ValueError("metric='lowrank' requires lowrank_fac "
+                             "(V, lam, alpha)")
         C = q.shape[0]
         CB = min(chain_block * K, C)
         while CB >= 1 and (C % CB or CB % K):
@@ -360,6 +382,8 @@ def build_fused_hmc_op(
             invariant = const_bytes
             invariant += 2 * sq if dense else 0              # cov + linv
             invariant += (2 * sq + 2 * mrow) if adapt_dense else 0  # seeds
+            if lowrank:
+                invariant += 16 * Npad * 4                   # factor block
             return scratch + 2 * varying + invariant
 
         CB = shrink_chain_block(C, CB, K, _est_bytes, _fused_vmem_budget(),
@@ -434,6 +458,17 @@ def build_fused_hmc_op(
             inputs += [pack_rows(fgm), pack_rows(fgv), pack_rows(bgm),
                        pack_rows(bgv)]
             in_specs += [row_in] * 4
+        if lowrank:
+            Vf, lam_f, alpha_f = lowrank_fac
+            # lowrank_k + 2 rows used, padded to the f32 sublane tile
+            FR = max(16, ((lowrank_k + 2 + 7) // 8) * 8)
+            facp = jnp.zeros((FR, Npad), f32)
+            facp = facp.at[:lowrank_k, :n].set(Vf.astype(f32).T)
+            facp = facp.at[lowrank_k, :lowrank_k].set(lam_f.astype(f32))
+            facp = facp.at[lowrank_k + 1, :].set(jnp.asarray(alpha_f, f32))
+            inputs += [facp]
+            in_specs += [pl.BlockSpec((FR, Npad), lambda i, t: (0, 0),
+                                      memory_space=pltpu.VMEM)]
         B = (RT // RW)
         if adapt_dense:
             d_in, d_specs = _adapt_dense_inputs(dense_welford, B, Npad, n,

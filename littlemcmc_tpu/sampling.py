@@ -246,13 +246,14 @@ class HamiltonianMC(_StepSpec):
         if spec is not None and (
                 dense_metric
                 or isinstance(self.potential, (QuadPotentialFull,
-                                               QuadPotentialFullAdapt))):
+                                               QuadPotentialFullAdapt,
+                                               QuadPotentialLowRankAdapt))):
             # the per-draw Pallas HMC trajectory is diagonal-only; dense
-            # metrics run the vmap XLA path (the FUSED engine covers the
-            # dense fast paths)
-            _log.info("Dense metric: the per-draw HMC path uses the XLA "
-                      "trajectory (the Pallas per-draw path is diagonal-"
-                      "only; dense fast paths run via fuse_draws).")
+            # and low-rank metrics run the vmap XLA path (the FUSED
+            # engine covers their fast paths)
+            _log.info("Non-diagonal metric: the per-draw HMC path uses the "
+                      "XLA trajectory (the Pallas per-draw path is diagonal-"
+                      "only; dense/low-rank fast paths run via fuse_draws).")
             spec = None
         return build_hmc_kernel(
             logp_grad_fn, self.config, spec, mesh,
@@ -969,12 +970,12 @@ def sample(
             or isinstance(step.potential, (QuadPotentialDiag,
                                            QuadPotentialDiagAdapt))
         )
-        # the NUTS trajectory kernel also models the pooled low-rank
-        # metric (shared factor, metric="lowrank"); per-chain low-rank
-        # and the HMC kernel stay on the XLA tree
+        # the NUTS trajectory kernel models the pooled low-rank metric
+        # (shared factor, metric="lowrank") and the FUSED kernels cover
+        # both samplers; per-chain low-rank stays on the XLA tree, and
+        # the per-draw HMC kernel (diag-only) drops the spec itself
         lowrank_pooled = (
             bool(cross_chain_adapt)
-            and isinstance(step, NUTS)
             and ((step.potential is None and metric_kind == "lowrank")
                  or isinstance(step.potential, QuadPotentialLowRankAdapt))
         )
@@ -1151,7 +1152,7 @@ def sample(
         dense_ok = (isinstance(pot_template, QuadPotentialFull)
                     or (bool(cross_chain_adapt)
                         and isinstance(pot_template, QuadPotentialFullAdapt)))
-        lowrank_ok = (bool(cross_chain_adapt) and isinstance(step, NUTS)
+        lowrank_ok = (bool(cross_chain_adapt)
                       and isinstance(pot_template, QuadPotentialLowRankAdapt))
         # Auto mode consults the Mosaic capability probe (one-time, cached)
         # so an on-chip lowering regression degrades to the per-draw engine
@@ -1198,10 +1199,17 @@ def sample(
     # The pallas trajectory op (if any) must be shard_map-wrapped over a
     # multi-device mesh: GSPMD cannot auto-partition a pallas_call.
     def _build_per_draw_kernel():
+        pd_pallas = resolved_pallas
+        if (isinstance(step, HamiltonianMC)
+                and metric_kind == "lowrank" and step.potential is None):
+            # the per-draw HMC kernel is diagonal-only; an init-string
+            # low-rank run leaves step.potential unset, so the drop guard
+            # in HamiltonianMC.build_kernel cannot see the metric
+            pd_pallas = None
         return step.build_kernel(
             logp_grad, mesh=mesh, chain_axis=chain_axis,
             pooled_metric=cross_chain_adapt,
-            pallas_trajectory=resolved_pallas,
+            pallas_trajectory=pd_pallas,
             dense_metric=bool(
                 full or isinstance(step.potential,
                                    (QuadPotentialFull,

@@ -845,3 +845,28 @@ def test_fused_pooled_lowrank_e2e():
     step_f = float(np.exp(np.asarray(fs.da.log_bar)).mean())
     step_pd = float(np.exp(np.asarray(fs_pd.da.log_bar)).mean())
     assert abs(np.log(step_f / step_pd)) < np.log(1.5), (step_f, step_pd)
+
+
+def test_fused_hmc_pooled_lowrank_e2e():
+    """Pooled adapt_lowrank through the fused classic-HMC kernel: same
+    boundary-cadence factor refresh as the NUTS engine, momentum drawn
+    on core via the thin factor matmuls."""
+    model = models.SpikedGaussian(16, rank=2, spikes=(64.0, 16.0))
+    step = lmc.HamiltonianMC(model_ndim=16, max_steps=64,
+                             pallas_trajectory=model.pallas_trajectory_spec(),
+                             pallas_interpret=True)
+    tr, st, fs = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=16,
+                            chains=32, tune=300, draws=400, random_seed=5,
+                            step=step, progressbar=False,
+                            init="jitter+adapt_lowrank",
+                            cross_chain_adapt=True, fuse_draws=True,
+                            progress_every=50, return_final_state=True)
+    flat = np.asarray(tr).reshape(-1, 16)
+    vr = flat.var(0) / model.true_var
+    assert vr.min() > 0.88 and vr.max() < 1.12, vr
+    assert np.asarray(st["diverging"]).mean() < 0.02
+    assert 0.6 < float(np.asarray(st["accept"]).mean()) < 0.98
+    lam = np.asarray(fs.potential.lam[0])
+    assert lam.max() > 1.5, lam  # the spike was learned
+    vecs = np.asarray(fs.potential.vecs)
+    np.testing.assert_array_equal(vecs, np.broadcast_to(vecs[0], vecs.shape))
