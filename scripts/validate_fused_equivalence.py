@@ -103,6 +103,22 @@ def main():
         print(f"| {label} | {zm:.2f} | {zv:.2f} | {r['accept']:.3f} | "
               f"{r['depth']:.2f} | {r['step']:.3f} | {r['ess'].min():.0f} |")
 
+    print("\n### engine equivalence: 16-d spiked Gaussian, pooled "
+          "adapt_lowrank (every phase fused)\n")
+    m3 = models.SpikedGaussian(16, rank=2, spikes=(64.0, 16.0))
+    rows = []
+    for fuse, label in ((False, "per-draw"), (None, "fused")):
+        r = run(m3, fuse, seed=41, chains=chains, tune=tune, draws=draws,
+                init="jitter+adapt_lowrank", cross_chain_adapt=True)
+        zm, zv = zrow(r, 0.0, m3.true_var)
+        rows.append((label, r, zm, zv))
+    print("| engine | max z(mean) | max z(var) | accept | depth | "
+          "final step | min ESS |")
+    print("|---|---|---|---|---|---|---|")
+    for label, r, zm, zv in rows:
+        print(f"| {label} | {zm:.2f} | {zv:.2f} | {r['accept']:.3f} | "
+              f"{r['depth']:.2f} | {r['step']:.3f} | {r['ess'].min():.0f} |")
+
 
 if __name__ == "__main__":
     main()
