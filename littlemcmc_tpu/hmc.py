@@ -459,11 +459,14 @@ def build_fused_hmc_runner_factory(
                     w_sum=outs["bg_w"], w_sum2=outs["bg_w2"],
                     mean=outs["bg_mean"], raw_var=outs["bg_raw"])
                 if lowrank_pooled:
+                    # buf_fill=0 marks the ring buffer stale (the fused
+                    # kernel never maintains it; see the NUTS factory)
                     potential = states.potential.replace(
                         var=var, stds=stds, inv_stds=1.0 / stds,
                         fg=fg, bg=bg,
                         n_samples=outs["n_samples"].astype(jnp.int32),
                         window=outs["window"].astype(jnp.int32),
+                        buf_fill=jnp.zeros_like(states.potential.buf_fill),
                     )
                     if tuning:
                         from .parallel.cross_chain import (

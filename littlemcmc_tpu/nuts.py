@@ -1214,12 +1214,16 @@ def build_fused_nuts_runner_factory(
                     mean=outs["bg_mean"], raw_var=outs["bg_raw"])
                 if lowrank_pooled:
                     # diag part updated on core; the factor leaves ride
-                    # along frozen and refresh at the boundary below
+                    # along frozen and refresh at the boundary below.
+                    # buf_fill=0 marks the ring buffer stale: the fused
+                    # kernel never maintains it, so a mid-run fallback to
+                    # the per-draw engine must refill before trusting it
                     potential = states.potential.replace(
                         var=var, stds=stds, inv_stds=1.0 / stds,
                         fg=fg, bg=bg,
                         n_samples=outs["n_samples"].astype(jnp.int32),
                         window=outs["window"].astype(jnp.int32),
+                        buf_fill=jnp.zeros_like(states.potential.buf_fill),
                     )
                     if tuning:
                         from .parallel.cross_chain import (

@@ -68,6 +68,8 @@ from .nuts_trajectory_pallas import (
     _make_lowrank_velocities,
     _run_transition,
     _uniform,
+    build_lowrank_fac,
+    lowrank_fac_rows,
     natural_pack,
     padded_dim,
 )
@@ -826,7 +828,7 @@ def build_fused_nuts_op(
             invariant += 2 * sq if dense else 0              # cov + linv
             invariant += (2 * sq + 2 * mrow) if adapt_dense else 0  # seeds
             if lowrank:
-                invariant += 16 * Npad * 4                   # factor block
+                invariant += lowrank_fac_rows(lowrank_k) * Npad * 4
             return scratch + 2 * varying + invariant
 
         CB = shrink_chain_block(C, CB, K, _est_bytes, _fused_vmem_budget(),
@@ -902,15 +904,9 @@ def build_fused_nuts_op(
                        pack_rows(bgv)]
             in_specs += [row_in] * 4
         if lowrank:
-            Vf, lam_f, alpha_f = lowrank_fac
-            # lowrank_k + 2 rows used, padded to the f32 sublane tile
-            FR = max(16, ((lowrank_k + 2 + 7) // 8) * 8)
-            facp = jnp.zeros((FR, Npad), f32)
-            facp = facp.at[:lowrank_k, :n].set(Vf.astype(f32).T)
-            facp = facp.at[lowrank_k, :lowrank_k].set(lam_f.astype(f32))
-            facp = facp.at[lowrank_k + 1, :].set(jnp.asarray(alpha_f, f32))
+            facp = build_lowrank_fac(*lowrank_fac, n, Npad)
             inputs += [facp]
-            in_specs += [pl.BlockSpec((FR, Npad), lambda i, t: (0, 0),
+            in_specs += [pl.BlockSpec(facp.shape, lambda i, t: (0, 0),
                                       memory_space=pltpu.VMEM)]
         B = (RT // RW)
         if adapt_dense:

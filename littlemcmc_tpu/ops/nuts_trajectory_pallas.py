@@ -641,6 +641,24 @@ def _run_transition(lanes, refs, model, uniform, velE, velC, Emax,
     lax.while_loop(outer_cond, outer_body, (jnp.int32(0), cont0))
 
 
+def lowrank_fac_rows(k: int) -> int:
+    """Rows of the shared low-rank factor block: ``k`` ``Vᵀ`` rows plus a
+    λ row and an α row, padded to the f32 sublane tile. The single
+    source of truth for every kernel's VMEM estimate and packing."""
+    return ((k + 2 + 7) // 8) * 8
+
+
+def build_lowrank_fac(Vf, lam_f, alpha_f, n: int, Npad: int):
+    """Pack ``(V, λ, α)`` into the ``(FR, Npad)`` factor block the
+    kernels slice (:func:`_make_lowrank_velocities`)."""
+    k = Vf.shape[1]
+    facp = jnp.zeros((lowrank_fac_rows(k), Npad), jnp.float32)
+    facp = facp.at[:k, :n].set(Vf.astype(jnp.float32).T)
+    facp = facp.at[k, :k].set(lam_f.astype(jnp.float32))
+    facp = facp.at[k + 1, :].set(jnp.asarray(alpha_f, jnp.float32))
+    return facp
+
+
 def _make_lowrank_velocities(stds, fac, kf: int):
     """Velocity closures for the spiked (low-rank+diag) metric.
 
@@ -889,17 +907,11 @@ def build_trajectory_op(
         elif metric == "lowrank":
             # var = (stds, V, lam, alpha): per-chain diagonal scale plus
             # the shared spiked factor, packed into one (FR, Npad) block
-            # (Vᵀ rows, a λ row, an α-broadcast row; FR padded to the
-            # f32 sublane multiple)
+            # (Vᵀ rows, a λ row, an α-broadcast row)
             stds, Vf, lam_f, alpha_f = var
             vp = pack_rows(stds)
             lowrank_k = Vf.shape[1]
-            FR = round_up(lowrank_k + 2, 8)
-            facp = jnp.zeros((FR, Npad), f32)
-            facp = facp.at[:lowrank_k, :n].set(Vf.astype(f32).T)
-            facp = facp.at[lowrank_k, :lowrank_k].set(lam_f.astype(f32))
-            facp = facp.at[lowrank_k + 1, :].set(
-                jnp.asarray(alpha_f, f32))
+            facp = build_lowrank_fac(Vf, lam_f, alpha_f, n, Npad)
         else:  # shared (n, n) covariance, zero-padded square (K == 1)
             vp = jnp.pad(var.astype(f32), ((0, Npad - n), (0, Npad - n)))
         sin_w = _N_IN * K

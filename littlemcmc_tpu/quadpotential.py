@@ -646,6 +646,7 @@ class QuadPotentialLowRankAdapt:
     alpha_s2: jax.Array  # scalar raw sum of residual squared norms
     buf: jax.Array  # (m, n) ring buffer of recent raw positions
     buf_pos: jax.Array  # int32 scalar, next write slot
+    buf_fill: jax.Array  # int32 scalar, valid rows (saturates at m)
     window_multiplier: float = struct.field(pytree_node=False, default=1.0)
     rank: int = struct.field(pytree_node=False, default=8)
     lam_clip: float = struct.field(pytree_node=False, default=100.0)
@@ -696,6 +697,7 @@ class QuadPotentialLowRankAdapt:
             alpha_s2=jnp.asarray(0.0, dtype),
             buf=jnp.zeros((int(buffer_size), n), dtype),
             buf_pos=jnp.asarray(0, jnp.int32),
+            buf_fill=jnp.asarray(0, jnp.int32),
             window_multiplier=float(adaptation_window_multiplier),
             rank=k,
             lam_clip=float(lam_clip),
@@ -753,7 +755,12 @@ class QuadPotentialLowRankAdapt:
 
         buf = self.buf.at[self.buf_pos].set(sample)
         buf_pos = jnp.mod(self.buf_pos + 1, self.buffer_size)
-        ready = (self.n_samples + 1) >= self.buffer_size
+        # buf_fill (not n_samples) gates readiness: a fused chunk leaves
+        # n_samples large but the buffer unmaintained — its epilogue
+        # resets buf_fill so a mid-run fallback to this per-draw update
+        # refills before trusting the buffer rows again
+        buf_fill = jnp.minimum(self.buf_fill + 1, self.buffer_size)
+        ready = buf_fill >= self.buffer_size
 
         m = float(self.buffer_size)
         Z = (buf - fg.mean) * inv_stds  # (m, n) standardized recent draws
@@ -797,6 +804,7 @@ class QuadPotentialLowRankAdapt:
             alpha_s2=alpha_s2,
             buf=buf,
             buf_pos=buf_pos,
+            buf_fill=buf_fill,
         )
         return tree_select(tuning, updated, self)
 

@@ -1189,7 +1189,7 @@ def sample(
             "fuse_draws=True but the fused multi-draw kernel is unavailable "
             "for this configuration: it requires a Pallas trajectory spec, a "
             "NUTS/HamiltonianMC step with no step_rand hook, a diagonal, "
-            "static dense, pooled adaptive dense, or (NUTS) pooled low-rank "
+            "static dense, pooled adaptive dense, or pooled low-rank "
             "metric (per-chain adaptive dense/low-rank excluded), no "
             "model_axis, and a lane-packable per-device chain count (>= 8 "
             "chains per device)."

@@ -294,3 +294,29 @@ def test_lowrank_checkpoint_resume_bit_identical(tmp_path):
     assert t_resumed.shape == (8, 10, n)
     np.testing.assert_array_equal(np.asarray(t_resumed),
                                   np.asarray(t_full)[:, -10:, :])
+
+
+def test_buffer_staleness_gate_after_fused_chunk():
+    """A fused chunk leaves n_samples large but the ring buffer
+    unmaintained (its epilogue zeroes buf_fill); the per-chain update
+    must refill the buffer before moving the basis again."""
+    n, k, m = 8, 2, 6
+    pot = QuadPotentialLowRankAdapt.create(
+        n, initial_weight=10.0, rank=k, buffer_size=m)
+    rng = np.random.RandomState(1)
+    for _ in range(2 * m):
+        pot = pot.update(jnp.asarray(rng.standard_normal(n), jnp.float32),
+                         jnp.zeros(n, jnp.float32), jnp.asarray(True))
+    # simulate the fused epilogue: counters advanced, buffer stale
+    pot = pot.replace(n_samples=jnp.asarray(500, jnp.int32),
+                      buf_fill=jnp.zeros_like(pot.buf_fill),
+                      buf=jnp.zeros_like(pot.buf))
+    v_frozen = np.asarray(pot.vecs)
+    for i in range(m - 1):
+        pot = pot.update(jnp.asarray(rng.standard_normal(n), jnp.float32),
+                         jnp.zeros(n, jnp.float32), jnp.asarray(True))
+        np.testing.assert_array_equal(np.asarray(pot.vecs), v_frozen)
+    # buffer refilled: the basis moves again
+    pot = pot.update(jnp.asarray(rng.standard_normal(n), jnp.float32),
+                     jnp.zeros(n, jnp.float32), jnp.asarray(True))
+    assert not np.allclose(np.asarray(pot.vecs), v_frozen)
