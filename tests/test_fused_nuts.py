@@ -870,3 +870,50 @@ def test_fused_hmc_pooled_lowrank_e2e():
     assert lam.max() > 1.5, lam  # the spike was learned
     vecs = np.asarray(fs.potential.vecs)
     np.testing.assert_array_equal(vecs, np.broadcast_to(vecs[0], vecs.shape))
+
+
+def test_fused_lowrank_midrun_fallback_is_statistically_exact(monkeypatch):
+    """Fail the fused lowrank engine AFTER its first tune chunk: the
+    epilogue has marked the ring buffer stale (buf_fill=0) and advanced
+    the counters, so the per-draw engine that takes over must refill
+    the buffer before trusting it (the review-found failure mode was a
+    basis dragged toward the standardized mean by zero buffer rows).
+    The run must complete with correct moments."""
+    import littlemcmc_tpu.nuts as nuts_mod
+
+    real = nuts_mod.build_fused_nuts_runner_factory
+
+    def breaks_after_first(*a, **k):
+        factory = real(*a, **k)
+        calls = {"n": 0}
+
+        def flaky_factory(chunk, tuning, collect):
+            runner = factory(chunk, tuning, collect)
+
+            def flaky_runner(states):
+                calls["n"] += 1
+                if calls["n"] > 1:
+                    raise RuntimeError("synthetic mid-run Mosaic failure")
+                return runner(states)
+
+            return flaky_runner
+
+        flaky_factory.tune_chunk_cap = getattr(factory, "tune_chunk_cap",
+                                               None)
+        return flaky_factory
+
+    monkeypatch.setattr(nuts_mod, "build_fused_nuts_runner_factory",
+                        breaks_after_first)
+    model = models.SpikedGaussian(12, rank=2, spikes=(25.0, 9.0))
+    step = lmc.NUTS(model_ndim=12,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    tr, st = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=12,
+                        chains=32, tune=300, draws=300, random_seed=21,
+                        step=step, progressbar=False,
+                        init="jitter+adapt_lowrank", cross_chain_adapt=True,
+                        progress_every=50)
+    flat = np.asarray(tr).reshape(-1, 12)
+    vr = flat.var(0) / model.true_var
+    assert vr.min() > 0.88 and vr.max() < 1.12, vr
+    assert np.asarray(st["diverging"]).mean() < 0.02
