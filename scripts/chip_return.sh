@@ -20,7 +20,7 @@ mkdir -p "$LOG"
 
 step() { echo; echo "=== [$(date +%H:%M:%S)] $1 ==="; }
 
-step "0/5 tunnel liveness"
+step "0/7 tunnel liveness"
 if ! timeout 180 python - <<'EOF'
 import time, jax, jax.numpy as jnp
 t0 = time.time()
@@ -33,24 +33,31 @@ then
     exit 1
 fi
 
-step "1/5 Mosaic pre-flight probes (fused-kernel dependencies)"
+step "1/7 Mosaic pre-flight probes (fused-kernel dependencies)"
 timeout 600 python scripts/mosaic_probes.py 2>&1 | tee "$LOG/probes.log"
 PROBES_RC=${PIPESTATUS[0]}
 [ "$PROBES_RC" -ne 0 ] && echo "WARNING: Mosaic probes failed — fused \
 kernels may not lower; the suite/bench will fall back per config."
 
-step "2/5 TPU test suite -> TEST_TPU_RUN.txt"
+step "2/7 TPU test suite -> TEST_TPU_RUN.txt"
 timeout 5400 make test-tpu 2>&1 | tee "$LOG/test_tpu.log"
 tail -40 "$LOG/test_tpu.log" > TEST_TPU_RUN.txt
 
-step "3/5 fused vs per-draw e2e A/B -> AB_FUSED.json"
+step "3/7 fused vs per-draw e2e A/B -> AB_FUSED.json"
 timeout 3600 python scripts/ab_fused.py 2>&1 | tee "$LOG/ab_fused.log"
 
-step "4/5 headline bench (per-draw vs fused inside) -> bench log"
+step "4/7 headline bench (per-draw vs fused inside) -> bench log"
 timeout 3600 python bench.py 2>&1 | tee "$LOG/bench_headline.log"
 
-step "5/5 full benchmark suite -> BENCH_SUITE.json"
+step "5/7 full benchmark suite -> BENCH_SUITE.json"
 timeout 10800 python scripts/bench_suite.py 2>&1 | tee "$LOG/bench_suite.log"
+
+step "6/7 metric-family study on chip -> LOWRANK_STUDY.json"
+timeout 3600 python scripts/lowrank_study.py 2>&1 | tee "$LOG/lowrank_study.log"
+
+step "7/7 fused-vs-per-draw engine equivalence (real Mosaic kernels)"
+timeout 7200 python scripts/validate_fused_equivalence.py 2>&1 \
+    | tee "$LOG/fused_equivalence.log"
 
 step "done"
 echo "Artifacts: TEST_TPU_RUN.txt AB_FUSED.json BENCH_SUITE.json"
