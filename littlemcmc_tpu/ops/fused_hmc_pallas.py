@@ -196,7 +196,9 @@ def build_fused_hmc_op(
         i_blk = pl.program_id(0)
         t = pl.program_id(1)
         RW = q_s.shape[0]
-        st2 = st.at[0]
+        # stats block is natively 2-D (RW, 16*K): Mosaic cannot slice a
+        # sub-128 lane width out of a 3-D block (see fused_nuts_pallas.py)
+        st2 = st
         tr2 = tr_q.at[0]
 
         def sinc(c):
@@ -433,7 +435,11 @@ def build_fused_hmc_op(
                   else (lambda i, t: (0, i, 0)))
         tr_spec = pl.BlockSpec((1, RW, Npad), tr_idx,
                                memory_space=pltpu.VMEM)
-        st_spec = pl.BlockSpec((1, RW, _N_OUT * K), lambda i, t: (t, i, 0),
+        # 2-D flattened stats layout — Mosaic rejects 3-D blocks with a
+        # 16-lane last dim (BENCH_r03 tail); see fused_nuts_pallas.py.
+        n_blk = RT // RW
+        st_spec = pl.BlockSpec((RW, _N_OUT * K),
+                               lambda i, t, _b=n_blk: (t * _b + i, 0),
                                memory_space=pltpu.VMEM)
         const_specs = [
             pl.BlockSpec(cc.shape, (lambda i, t, _nd=cc.ndim: (0,) * _nd),
@@ -475,7 +481,7 @@ def build_fused_hmc_op(
 
         out_shapes = [
             jax.ShapeDtypeStruct((T_out, RT, Npad), f32),      # trace
-            jax.ShapeDtypeStruct((T, RT, _N_OUT * K), f32),    # stats
+            jax.ShapeDtypeStruct((T * RT, _N_OUT * K), f32),   # stats
             jax.ShapeDtypeStruct((RT, Npad), f32),             # final q
             jax.ShapeDtypeStruct((RT, Npad), f32),             # final grad
             jax.ShapeDtypeStruct((RT, _N_SC_IN * K), f32),     # final scalars
@@ -519,8 +525,10 @@ def build_fused_hmc_op(
         def sc(buf, c):
             return buf[:, c * K:(c + 1) * K].reshape(-1)
 
+        stp3 = stp.reshape(T, RT, _N_OUT * K)
+
         def stat(c):
-            return stp[:, :, c * K:(c + 1) * K].reshape(T, C)
+            return stp3[:, :, c * K:(c + 1) * K].reshape(T, C)
 
         res = dict(
             trace=(tr.reshape(T, C, SEG)[:, :, :n] if collect_trace

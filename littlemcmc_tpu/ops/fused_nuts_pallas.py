@@ -581,9 +581,12 @@ def build_fused_nuts_op(
         i_blk = pl.program_id(0)
         t = pl.program_id(1)
         RW = q_s.shape[0]
-        # the per-(t, i) output blocks are (1, RW, ...); 2-D ref views let
-        # the shared transition code treat them like the per-draw buffers
-        st2 = st.at[0]
+        # the per-(t, i) trace block is (1, RW, Npad); a 2-D ref view lets
+        # the shared transition code treat it like the per-draw buffers.
+        # The stats block is natively 2-D (RW, 16*K): Mosaic cannot slice a
+        # sub-128 lane width out of a 3-D block (tiling is (1, 128) there),
+        # so stats use a (T*RT, 16*K)-flattened layout indexed (t*B + i, 0).
+        st2 = st
         tr2 = tr_q.at[0]
 
         def sinc(c):
@@ -876,7 +879,14 @@ def build_fused_nuts_op(
                   else (lambda i, t: (0, i, 0)))
         tr_spec = pl.BlockSpec((1, RW, Npad), tr_idx,
                                memory_space=pltpu.VMEM)
-        st_spec = pl.BlockSpec((1, RW, _N_OUT * K), lambda i, t: (t, i, 0),
+        # 2-D flattened stats layout: 3-D blocks with a 16-lane last dim
+        # fail Mosaic's (1, 128) tiling ("Slice shape along dimension 2
+        # must be aligned to tiling (128), but is 16" — BENCH_r03 tail);
+        # a 2-D (RW, 16*K) block over (T*RT, 16*K) rows compiles and
+        # avoids the 8x lane padding of a 128-wide 3-D block.
+        n_blk = RT // RW
+        st_spec = pl.BlockSpec((RW, _N_OUT * K),
+                               lambda i, t, _b=n_blk: (t * _b + i, 0),
                                memory_space=pltpu.VMEM)
         const_specs = [
             pl.BlockSpec(cc.shape, (lambda i, t, _nd=cc.ndim: (0,) * _nd),
@@ -918,7 +928,7 @@ def build_fused_nuts_op(
 
         out_shapes = [
             jax.ShapeDtypeStruct((T_out, RT, Npad), f32),      # trace
-            jax.ShapeDtypeStruct((T, RT, _N_OUT * K), f32),    # stats
+            jax.ShapeDtypeStruct((T * RT, _N_OUT * K), f32),   # stats
             jax.ShapeDtypeStruct((RT, Npad), f32),             # final q
             jax.ShapeDtypeStruct((RT, Npad), f32),             # final grad
             jax.ShapeDtypeStruct((RT, _N_SC_IN * K), f32),     # final scalars
@@ -965,8 +975,10 @@ def build_fused_nuts_op(
         def sc(buf, c):
             return buf[:, c * K:(c + 1) * K].reshape(-1)
 
+        stp3 = stp.reshape(T, RT, _N_OUT * K)
+
         def stat(c):
-            return stp[:, :, c * K:(c + 1) * K].reshape(T, C)
+            return stp3[:, :, c * K:(c + 1) * K].reshape(T, C)
 
         res = dict(
             trace=(tr.reshape(T, C, SEG)[:, :, :n] if collect_trace
