@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..integration import INTEGRATOR_COEFFS
 from .fused_nuts_pallas import (
+    BLOCKSPEC_LAYOUTS,
     _A_DCNT,
     _A_DHB,
     _A_DLB,
@@ -72,7 +73,11 @@ from .nuts_trajectory_pallas import (
     padded_dim,
 )
 
-__all__ = ["build_fused_hmc_op"]
+__all__ = ["build_fused_hmc_op", "BLOCKSPEC_LAYOUTS"]
+
+# The fused HMC op uses exactly the NUTS op's BlockSpec shape classes
+# (same row/trace/stats/const/dense/low-rank layouts, fewer scratch
+# buffers) — re-exported so tests pin probe coverage for both ops.
 
 # packed stat columns (x K), 16 slots
 (_H_SS, _H_NST, _H_SSB, _H_ACC, _H_DIV, _H_EE, _H_EN, _H_PL, _H_ACCD,

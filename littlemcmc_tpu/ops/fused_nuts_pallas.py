@@ -74,7 +74,29 @@ from .nuts_trajectory_pallas import (
     padded_dim,
 )
 
-__all__ = ["build_fused_nuts_op"]
+__all__ = ["build_fused_nuts_op", "BLOCKSPEC_LAYOUTS"]
+
+# Every BlockSpec/scratch shape class this op's pallas_call uses, by the
+# names of fused_probe.PROBED_LAYOUTS. tests/test_fused_nuts.py pins that
+# each class here has a compiling miniature probe, so a Mosaic layout
+# regression flips fused_engine_supported() *before* the first fused
+# chunk instead of crashing the kernel on chip (the round-3 failure:
+# probes passed while the real 16-lane 3-D stats block could not
+# compile — BENCH_r03 tail).
+BLOCKSPEC_LAYOUTS = frozenset({
+    "smem_scalar_in",    # seed / pooled-Welford scalars in SMEM
+    "rows_2d",           # (RW, Npad) chain-row blocks idx (i, 0)
+    "scal16_2d",         # (RW, 16*K) packed scalar blocks idx (i, 0)
+    "trace_3d",          # (1, RW, Npad) trace blocks idx (t, i, 0)
+    "stats_2d_flat",     # (RW, 16*K) stats blocks idx (t*B + i, 0)
+    "const_nd",          # grid-invariant const blocks idx (0,)*nd
+    "sq_2d",             # (Npad, Npad) dense-metric blocks idx (0, 0)
+    "fac_2d",            # (FR, Npad) shared low-rank factor block
+    "mean_3d",           # (1, 8, Npad) pooled-mean outputs idx (i, 0, 0)
+    "sq_3d",             # (1, Npad, Npad) pooled-raw outputs idx (i, 0, 0)
+    "lane_3d",           # (1, 8, 128) counter-row outputs idx (i, 0, 0)
+    "smem_f32_scratch",  # SMEM f32 vector scratch (_N_WSC window ctrs)
+})
 
 # extra packed stat columns (9..15 are free in the per-draw layout)
 _O_EE, _O_MTA, _O_SS, _O_SSB = 9, 10, 11, 12

@@ -35,7 +35,32 @@ _CACHE: dict = {}
 
 __all__ = ["fused_engine_supported", "probe_cos", "probe_grid_scratch",
            "probe_smem_accumulate", "probe_thin_factor",
-           "lowrank_kernel_supported"]
+           "probe_stat_io_layout", "probe_block_outputs_3d",
+           "lowrank_kernel_supported", "PROBED_LAYOUTS"]
+
+# Which BlockSpec shape class each probe compiles on the real backend.
+# The fused kernels declare the classes they use
+# (``fused_nuts_pallas.BLOCKSPEC_LAYOUTS`` /
+# ``fused_hmc_pallas.BLOCKSPEC_LAYOUTS``) and
+# ``tests/test_fused_nuts.py`` pins that every declared class appears
+# here — so a new layout in the kernels without a probe is a CI failure,
+# not a silent on-chip Mosaic crash (the round-3 failure mode: probes
+# passed while the real kernel's 16-lane 3-D stats block could not
+# compile).
+PROBED_LAYOUTS = {
+    "rows_2d": "probe_stat_io_layout",        # (RW, Npad) idx (i, 0)
+    "scal16_2d": "probe_stat_io_layout",      # (RW, 16*K) idx (i, 0)
+    "trace_3d": "probe_stat_io_layout",       # (1, RW, Npad) idx (t, i, 0)
+    "stats_2d_flat": "probe_stat_io_layout",  # (RW, 16*K) idx (t*B+i, 0)
+    "smem_scalar_in": "probe_stat_io_layout",  # seed vector in SMEM
+    "const_nd": "probe_stat_io_layout",       # grid-invariant const block
+    "sq_2d": "probe_smem_accumulate",         # (Npad, Npad) idx (0, 0)
+    "smem_f32_scratch": "probe_smem_accumulate",
+    "mean_3d": "probe_block_outputs_3d",      # (1, 8, Npad) idx (i, 0, 0)
+    "sq_3d": "probe_block_outputs_3d",        # (1, Npad, Npad) idx (i, 0, 0)
+    "lane_3d": "probe_block_outputs_3d",      # (1, 8, 128) idx (i, 0, 0)
+    "fac_2d": "probe_thin_factor",            # (FR, Npad) shared factor
+}
 
 
 def probe_cos(interpret: bool = False) -> bool:
@@ -210,6 +235,170 @@ def probe_thin_factor(interpret: bool = False) -> bool:
     return bool(np.allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5))
 
 
+def probe_stat_io_layout(interpret: bool = False) -> bool:
+    """Miniature of the fused kernels' exact I/O block layout.
+
+    Uses the same grid/BlockSpec constructs as
+    ``fused_nuts_pallas.build_fused_nuts_op`` /
+    ``fused_hmc_pallas.build_fused_hmc_op`` at ``pack=1`` (the
+    flagship-model class that failed Mosaic in round 3): a 2-D
+    ``(blocks, T)`` grid with "arbitrary" semantics, an SMEM scalar
+    input, ``(RW, Npad)`` chain-row blocks indexed ``(i, 0)``,
+    ``(RW, 16)`` packed-scalar blocks indexed ``(i, 0)``, a
+    grid-invariant const block, 3-D ``(1, RW, Npad)`` trace blocks
+    indexed ``(t, i, 0)`` written through an ``.at[0]`` view, the
+    flattened 2-D ``(RW, 16)`` stats blocks indexed ``(t*B + i, 0)``
+    with per-column slice writes, and VMEM scratch persisting across
+    the ``T`` grid steps.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, RW, Npad, W = 2, 3, 8, 128, 16
+
+    def kernel(seed_ref, q0, sin, const, tr, st, qf, sout, q_s, sa):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            q_s[:] = q0[:]
+            sa[:] = sin[:]
+
+        q = q_s[:] + const[0:RW, :] + jnp.float32(seed_ref[0])
+        q_s[:] = q
+        tr.at[0][:] = q
+        # per-column slice writes into the 16-lane stats block (set_st
+        # at K=1, the layout Mosaic rejected as a 3-D block in round 3)
+        for c in range(3):
+            st[:, c:c + 1] = sa[:, c:c + 1] + jnp.float32(10 * c) + \
+                jnp.float32(1.0) * t
+        sa[:, 0:1] = sa[:, 0:1] + 1.0
+
+        @pl.when(t == T - 1)
+        def _():
+            qf[:] = q_s[:]
+            sout[:] = sa[:]
+
+    rng = np.random.RandomState(1)
+    q0 = rng.standard_normal((B * RW, Npad)).astype(np.float32)
+    sin = rng.standard_normal((B * RW, W)).astype(np.float32)
+    const = rng.standard_normal((RW, Npad)).astype(np.float32)
+    seed = np.array([3, 0], np.int32)
+
+    import jax as _jax
+    f32 = jnp.float32
+    row_in = pl.BlockSpec((RW, Npad), lambda i, t: (i, 0),
+                          memory_space=pltpu.VMEM)
+    sin_spec = pl.BlockSpec((RW, W), lambda i, t: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec(const.shape, lambda i, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    tr_spec = pl.BlockSpec((1, RW, Npad), lambda i, t: (t, i, 0),
+                           memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((RW, W), lambda i, t, _b=B: (t * _b + i, 0),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  row_in, sin_spec, const_spec],
+        out_shape=[_jax.ShapeDtypeStruct((T, B * RW, Npad), f32),
+                   _jax.ShapeDtypeStruct((T * B * RW, W), f32),
+                   _jax.ShapeDtypeStruct((B * RW, Npad), f32),
+                   _jax.ShapeDtypeStruct((B * RW, W), f32)],
+        out_specs=[tr_spec, st_spec, row_in, sin_spec],
+        scratch_shapes=[pltpu.VMEM((RW, Npad), f32),
+                        pltpu.VMEM((RW, W), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(seed, q0, sin, const)
+    tr, st, qf, sout = (np.asarray(o) for o in outs)
+
+    # numpy replay
+    q_s = q0.reshape(B, RW, Npad).copy()
+    sa = sin.reshape(B, RW, W).copy()
+    tr_e = np.zeros((T, B, RW, Npad), np.float32)
+    st_e = np.zeros((T, B, RW, W), np.float32)
+    for t in range(T):
+        for i in range(B):
+            q_s[i] = q_s[i] + const + 3.0
+            tr_e[t, i] = q_s[i]
+            for c in range(3):
+                st_e[t, i, :, c] = sa[i, :, c] + 10.0 * c + float(t)
+            sa[i, :, 0] += 1.0
+    # only the 3 written stat columns are defined — the rest of the
+    # 16-lane block is uninitialized output memory (like the real
+    # kernels' unused packed-stat slots)
+    ok = (np.allclose(tr, tr_e.reshape(T, B * RW, Npad), atol=1e-5)
+          and np.allclose(st[:, :3], st_e.reshape(T * B * RW, W)[:, :3],
+                          atol=1e-5)
+          and np.allclose(qf, q_s.reshape(B * RW, Npad), atol=1e-5)
+          and np.allclose(sout, sa.reshape(B * RW, W), atol=1e-5))
+    return bool(ok)
+
+
+def probe_block_outputs_3d(interpret: bool = False) -> bool:
+    """The adapt_dense per-block 3-D output blocks lower and index right.
+
+    ``(1, 8, Npad)`` pooled-mean rows, ``(1, Npad, Npad)`` pooled raw
+    moments, and ``(1, 8, 128)`` counter rows, all indexed ``(i, 0, 0)``
+    over a ``(blocks, T)`` grid and written through ``.at[0]`` views on
+    the last grid step (``fused_nuts_pallas._adapt_dense_outputs``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, N = 2, 3, 128
+
+    def kernel(mf, sqf, cf, acc):
+        i = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        acc[:] = acc[:] + jnp.float32(i + 1)
+
+        @pl.when(t == T - 1)
+        def _():
+            mf.at[0][:] = acc[0:8, :]
+            sqf.at[0][:] = acc[:]
+            cf.at[0][:] = acc[0:8, :] * 2.0
+
+    f32 = jnp.float32
+    mean_out = pl.BlockSpec((1, 8, N), lambda i, t: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    sq_out = pl.BlockSpec((1, N, N), lambda i, t: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    lane_out = pl.BlockSpec((1, 8, N), lambda i, t: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        out_shape=[jax.ShapeDtypeStruct((B, 8, N), f32),
+                   jax.ShapeDtypeStruct((B, N, N), f32),
+                   jax.ShapeDtypeStruct((B, 8, N), f32)],
+        out_specs=[mean_out, sq_out, lane_out],
+        scratch_shapes=[pltpu.VMEM((N, N), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )()
+    mf, sqf, cf = (np.asarray(o) for o in outs)
+    ok = True
+    for i in range(B):
+        v = float((i + 1) * T)
+        ok = ok and np.all(mf[i] == v) and np.all(sqf[i] == v) \
+            and np.all(cf[i] == 2 * v)
+    return bool(ok)
+
+
 def lowrank_kernel_supported(interpret: bool = False) -> bool:
     """True iff ``metric="lowrank"`` can run on this backend.
 
@@ -256,7 +445,9 @@ def fused_engine_supported(interpret: bool = False) -> bool:
     if key not in _CACHE:
         try:
             ok = (probe_cos(interpret) and probe_grid_scratch(interpret)
-                  and probe_smem_accumulate(interpret))
+                  and probe_stat_io_layout(interpret)
+                  and probe_smem_accumulate(interpret)
+                  and probe_block_outputs_3d(interpret))
         except Exception as e:  # Mosaic lowering / runtime failure
             _log.info("Fused-engine probe failed to compile/run (%s: %s)",
                       type(e).__name__, e)
@@ -264,9 +455,9 @@ def fused_engine_supported(interpret: bool = False) -> bool:
         if not ok:
             _log.warning(
                 "Fused multi-draw engine disabled: Mosaic capability probe "
-                "failed on backend %r (cos lowering or grid-scratch "
-                "persistence). Falling back to the per-draw engine; pass "
-                "fuse_draws=True to force the fused engine and see the "
-                "underlying error.", key[0])
+                "failed on backend %r (cos lowering, grid-scratch "
+                "persistence, or a kernel I/O block layout). Falling back "
+                "to the per-draw engine; pass fuse_draws=True to force the "
+                "fused engine and see the underlying error.", key[0])
         _CACHE[key] = ok
     return _CACHE[key]

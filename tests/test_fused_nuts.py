@@ -767,7 +767,43 @@ def test_fused_probe_interpret_mode():
     assert fused_probe.probe_cos(interpret=True)
     assert fused_probe.probe_grid_scratch(interpret=True)
     assert fused_probe.probe_smem_accumulate(interpret=True)
+    assert fused_probe.probe_stat_io_layout(interpret=True)
+    assert fused_probe.probe_block_outputs_3d(interpret=True)
     assert fused_probe.fused_engine_supported(interpret=True)
+
+
+def test_fused_probe_covers_every_kernel_layout():
+    """Every BlockSpec shape class the fused ops declare has a compiling
+    miniature probe, and the probe gate actually calls those probes.
+
+    Guards the contract at sampling.py's engine auto-selection: a Mosaic
+    layout regression must flip fused_engine_supported() before the
+    first fused chunk, not crash mid-run (the round-3 failure mode —
+    probes passed while the real kernel's 16-lane 3-D stats block could
+    not compile on the v5e)."""
+    import inspect
+
+    from littlemcmc_tpu.ops import fused_hmc_pallas, fused_nuts_pallas
+    from littlemcmc_tpu.ops import fused_probe
+
+    for mod in (fused_nuts_pallas, fused_hmc_pallas):
+        declared = mod.BLOCKSPEC_LAYOUTS
+        missing = declared - set(fused_probe.PROBED_LAYOUTS)
+        assert not missing, (
+            f"{mod.__name__} declares BlockSpec layout classes with no "
+            f"probe: {sorted(missing)}")
+
+    # every probe PROBED_LAYOUTS points at exists and is exercised by
+    # the fused_engine_supported() gate (directly or via lowrank gate)
+    gate_src = inspect.getsource(fused_probe.fused_engine_supported)
+    for layout, probe_name in fused_probe.PROBED_LAYOUTS.items():
+        probe = getattr(fused_probe, probe_name, None)
+        assert callable(probe), (layout, probe_name)
+        assert probe_name in gate_src or probe_name == "probe_thin_factor", \
+            f"probe {probe_name} (layout {layout!r}) not called by gate"
+    # the low-rank factor layout is gated separately
+    lr_src = inspect.getsource(fused_probe.lowrank_kernel_supported)
+    assert "probe_thin_factor" in lr_src
 
 
 def test_fused_probe_failure_gates_auto_selection(monkeypatch):
