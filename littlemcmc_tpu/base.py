@@ -41,6 +41,11 @@ class _BaseConfig:
     # Symplectic scheme: "leapfrog" (reference parity), "two_stage", or
     # "three_stage" minimal-norm splittings (see integration.py).
     integrator: str = "leapfrog"
+    # Chains per Pallas trajectory-kernel block (0 = backend heuristic).
+    # Smaller blocks shrink the lock-step tail — each block waits only
+    # for its own deepest tree — at the cost of more sequential grid
+    # steps; DEPTH_REBLOCK_STUDY.json has the measured trade-off curve.
+    chain_block: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -214,7 +214,8 @@ def _build_pallas_hmc_kernel(logp_grad_fn, config, trajectory_spec, mesh,
         pack = resolve_pack(trajectory_spec, n_model, C_local)
         traj_op = build_hmc_trajectory_op(
             trajectory_spec, n_model, config.Emax, config.integrator,
-            chain_block=256 * pack if pack > 1 else 512,
+            chain_block=(config.chain_block or
+                         (256 * pack if pack > 1 else 512)),
             interpret=trajectory_interpret, pack=pack,
         )
         seed = jax.random.key_data(k_seed)[0].astype(jnp.int32)

@@ -791,7 +791,8 @@ def build_nuts_kernel(
                 config.max_treedepth,
                 config.Emax,
                 config.integrator,
-                chain_block=256 * pack if pack > 1 else 512,
+                chain_block=(config.chain_block or
+                             (256 * pack if pack > 1 else 512)),
                 metric=metric,
                 interpret=trajectory_interpret,
                 pack=pack,

@@ -484,18 +484,58 @@ def _run_transition(lanes, refs, model, uniform, velE, velC, Emax,
                 div_leaf = bld & ~(jnp.abs(dE) < Emax)
                 set_so(_O_NLV, soc(_O_NLV) + bld.astype(jnp.float32))
 
-                # push the leaf at height h (aborted lanes write garbage
-                # into slots they never read again)
+                # Leaf-level stack slots hold left_p == right_p == p_sum,
+                # so an *even* leaf (no immediate merge) writes only s_ps
+                # and s_q; an *odd* leaf is never pushed at all — its
+                # first merge consumes it straight from the working
+                # registers (peeled below). Slots at height < h are always
+                # merge results and carry all three momenta. (Aborted
+                # lanes still write garbage into slots they never read.)
                 lpaw = -dE + jnp.minimum(0.0, -dE)
-                s_lp[pl.ds(h, 1)] = c_p[:].reshape(1, RW, Npad)
-                s_rp[pl.ds(h, 1)] = c_p[:].reshape(1, RW, Npad)
-                s_ps[pl.ds(h, 1)] = c_p[:].reshape(1, RW, Npad)
-                s_q[pl.ds(h, 1)] = pack_slot(
-                    c_q[:], sfc(_S_CE), sfc(_S_CLP), -dE, lpaw
-                ).reshape(1, RW, Npad)
+                leaf_q_packed = pack_slot(c_q[:], sfc(_S_CE), sfc(_S_CLP),
+                                          -dE, lpaw)
 
-                # --- in-place merges: one per trailing one-bit of leaf_idx ---
                 set_si(_M_MRG, (bld & ~div_leaf).astype(jnp.int32))
+                is_odd = (leaf_idx & 1) == 1
+                go_m0 = jnp.sum(sic(_M_MRG)) > 0
+
+                @pl.when(jnp.logical_not(is_odd))
+                def _push_leaf():
+                    s_ps[pl.ds(h, 1)] = c_p[:].reshape(1, RW, Npad)
+                    s_q[pl.ds(h, 1)] = leaf_q_packed.reshape(1, RW, Npad)
+
+                @pl.when(is_odd & go_m0)
+                def _first_merge():
+                    # leaf (+) leaf: t1 = the even leaf at slot h-1
+                    # (lp == rp == ps, one momentum read), t2 = this
+                    # leaf, still in registers. The overlap U-turn
+                    # checks are identities here (ps1 == ps2 == ps), so
+                    # 2 metric applications + 2 dots suffice — vs the
+                    # generic merge's 8 reads / 4 velC / 6 dots.
+                    mrg = sic(_M_MRG) != 0
+                    t1_p = s_ps[pl.ds(h - 1, 1)].reshape(RW, Npad)
+                    t1_q, t1_e, t1_lpp, t1_ls, t1_lw = unpack_slot(
+                        s_q[pl.ds(h - 1, 1)].reshape(RW, Npad))
+                    t2_p = c_p[:]
+                    ps = t1_p + t2_p
+                    turn = ((rowdot(ps, velC(t1_p)) <= 0)
+                            | (rowdot(ps, velC(t2_p)) <= 0))
+                    t2_ls = -dE
+                    ls = jnp.logaddexp(t1_ls, t2_ls)
+                    lw = jnp.logaddexp(t1_lw, lpaw)
+                    take2 = logbern(t2_ls - ls)
+                    mq = jnp.where(bcb(take2), c_q[:], t1_q)
+                    me = jnp.where(take2, sfc(_S_CE), t1_e)
+                    mlp = jnp.where(take2, sfc(_S_CLP), t1_lpp)
+                    s_lp[pl.ds(h - 1, 1)] = t1_p.reshape(1, RW, Npad)
+                    s_rp[pl.ds(h - 1, 1)] = t2_p.reshape(1, RW, Npad)
+                    s_ps[pl.ds(h - 1, 1)] = ps.reshape(1, RW, Npad)
+                    s_q[pl.ds(h - 1, 1)] = pack_slot(
+                        mq, me, mlp, ls, lw).reshape(1, RW, Npad)
+                    set_si(_M_MRG, (mrg & ~turn).astype(jnp.int32))
+
+                # --- remaining in-place merges: one per trailing one-bit
+                # of leaf_idx past bit 0; both inputs are merged slots ---
 
                 def merge_body(mc):
                     j, hh, _ = mc
@@ -512,17 +552,24 @@ def _run_transition(lanes, refs, model, uniform, velE, velC, Emax,
                         s_q[pl.ds(hh, 1)].reshape(RW, Npad))
 
                     # 3-way generalized U-turn (reference nuts.py:389-398);
-                    # boundary velocities recomputed from momenta.
+                    # boundary velocities recomputed from momenta, each
+                    # metric application done once and reused across the
+                    # span + overlap checks (j starts at 1 — the j == 0
+                    # leaf-leaf merge is peeled into _first_merge).
+                    vt1lp = velC(t1_lp)
+                    vt1rp = velC(t1_rp)
+                    vt2lp = velC(t2_lp)
+                    vt2rp = velC(t2_rp)
                     ps = t1_ps + t2_ps
-                    turn = ((rowdot(ps, velC(t1_lp)) <= 0)
-                            | (rowdot(ps, velC(t2_rp)) <= 0))
+                    turn = ((rowdot(ps, vt1lp) <= 0)
+                            | (rowdot(ps, vt2rp) <= 0))
                     ps1 = t1_ps + t2_lp
-                    turn1 = ((rowdot(ps1, velC(t1_lp)) <= 0)
-                             | (rowdot(ps1, velC(t2_lp)) <= 0))
+                    turn1 = ((rowdot(ps1, vt1lp) <= 0)
+                             | (rowdot(ps1, vt2lp) <= 0))
                     ps2 = t1_rp + t2_ps
-                    turn2 = ((rowdot(ps2, velC(t1_rp)) <= 0)
-                             | (rowdot(ps2, velC(t2_rp)) <= 0))
-                    turn = turn | ((j >= 1) & (turn1 | turn2))
+                    turn2 = ((rowdot(ps2, vt1rp) <= 0)
+                             | (rowdot(ps2, vt2rp) <= 0))
+                    turn = turn | turn1 | turn2
 
                     ls = jnp.logaddexp(t1_ls, t2_ls)
                     lw = jnp.logaddexp(t1_lw, t2_lw)
@@ -548,9 +595,10 @@ def _run_transition(lanes, refs, model, uniform, velE, velC, Emax,
                         jnp.right_shift(leaf_idx, j), jnp.int32(1)) == 1
                     return more & go_m
 
-                go_m0 = jnp.sum(sic(_M_MRG)) > 0
+                go_m1 = is_odd & (jnp.sum(sic(_M_MRG)) > 0)
                 _, h_post, _ = lax.while_loop(
-                    merge_cond, merge_body, (jnp.int32(0), h, go_m0))
+                    merge_cond, merge_body,
+                    (jnp.int32(1), h - is_odd.astype(jnp.int32), go_m1))
 
                 merging0 = bld & ~div_leaf
                 turned = merging0 & ~(sic(_M_MRG) != 0)
@@ -570,10 +618,14 @@ def _run_transition(lanes, refs, model, uniform, velE, velC, Emax,
             lax.while_loop(leaf_cond, leaf_body,
                            (jnp.int32(0), jnp.int32(0), go_l0))
 
-            # the completed subtree is stack slot 0
-            n_lp = s_lp[pl.ds(0, 1)].reshape(RW, Npad)
-            n_rp = s_rp[pl.ds(0, 1)].reshape(RW, Npad)
+            # the completed subtree is stack slot 0; a depth-0 subtree is
+            # a bare leaf whose slot holds only s_ps/s_q (lp == rp == ps)
             n_ps = s_ps[pl.ds(0, 1)].reshape(RW, Npad)
+            leaf_tree = depth == 0
+            n_lp = jnp.where(leaf_tree, n_ps,
+                             s_lp[pl.ds(0, 1)].reshape(RW, Npad))
+            n_rp = jnp.where(leaf_tree, n_ps,
+                             s_rp[pl.ds(0, 1)].reshape(RW, Npad))
             n_q, n_e, n_lpp, n_ls, n_lw = unpack_slot(
                 s_q[pl.ds(0, 1)].reshape(RW, Npad))
 

@@ -153,7 +153,23 @@ def warnings_from_stats(
             "`target_accept` or reparameterize." % n_divs
         )
     if message:
-        warns.append(SamplerWarning(WarningType.DIVERGENCES, message, "error", None, None, None))
+        # Per-divergence records: the reference emits one debug-level
+        # SamplerWarning per divergence with its iteration index
+        # (base_hmc.py:164-179). The on-device scan can't interrupt per
+        # draw, but the per-draw ``diverging`` stat makes the indices
+        # exactly recoverable — carried in ``extra`` as (chain, draw)
+        # pairs (post-tune draw numbering, like the reference's
+        # ``step`` field after the tune offset).
+        ch_idx, dr_idx = np.nonzero(diverging)
+        cap = 1000  # a funnel at 10k chains can diverge >10^4 times
+        extra = {
+            "divergence_indices": list(zip(ch_idx[:cap].tolist(),
+                                           dr_idx[:cap].tolist())),
+            "n_divergences": n_divs,
+            "divergence_indices_truncated": bool(n_divs > cap),
+        }
+        warns.append(SamplerWarning(WarningType.DIVERGENCES, message, "error",
+                                    None, None, extra))
 
     if max_treedepth is not None and "reached_max_treedepth" in stats:
         hit = np.asarray(stats["reached_max_treedepth"])

@@ -127,6 +127,7 @@ class NUTS(_StepSpec):
         batched_logp_dlogp_func=None,
         pallas_trajectory="auto",
         pallas_interpret: bool = False,
+        chain_block: int = 0,
     ):
         super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
         del path_length  # accepted for constructor parity; NUTS does not use it
@@ -154,6 +155,7 @@ class NUTS(_StepSpec):
             max_treedepth=int(max_treedepth),
             early_max_treedepth=int(early_max_treedepth),
             integrator=str(integrator),
+            chain_block=int(chain_block),
         )
 
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
@@ -213,6 +215,7 @@ class HamiltonianMC(_StepSpec):
         integrator: str = "leapfrog",
         pallas_trajectory="auto",
         pallas_interpret: bool = False,
+        chain_block: int = 0,
     ):
         super().__init__(logp_dlogp_func, model_ndim, scaling, is_cov, potential)
         # Optional littlemcmc_tpu.ops.PallasModelSpec: run the jittered
@@ -232,6 +235,7 @@ class HamiltonianMC(_StepSpec):
             path_length=float(path_length),
             max_steps=int(max_steps),
             integrator=str(integrator),
+            chain_block=int(chain_block),
         )
 
     def build_kernel(self, logp_grad_fn: LogpGradFn, mesh=None,
@@ -813,6 +817,7 @@ def sample(
     checkpoint_every: Optional[int] = None,
     resume: bool = False,
     fuse_draws: Optional[bool] = None,
+    compute_convergence_checks: bool = True,
     **kwargs,
 ):
     """Draw posterior samples with NUTS (default) or HMC, fully on device.
@@ -856,6 +861,11 @@ def sample(
       the fused engine's draws depend on chunk boundaries, the per-draw
       engine's do not); ``True`` requires the fused engine and raises
       if the configuration cannot use it.
+    - ``compute_convergence_checks``: run the end-of-run warning checks
+      (divergences, acceptance, BFMI, and — for traces under 50M
+      elements — split R-hat) and log them, like the reference's
+      ``step.warnings()`` consumed by its driver (``base_hmc.py:202``).
+      ``False`` skips all host-side post-processing.
 
     Returns ``(trace, stats)``: ``trace`` has shape ``(chains, draws,
     model_ndim)``; ``stats`` maps stat names to ``(chains, draws)`` arrays
@@ -1350,6 +1360,34 @@ def sample(
             "for a full trace.",
             expected - trace.shape[1], expected, trace.shape[1],
         )
+
+    # --- Surface end-of-run sampler warnings ------------------------------
+    # The reference's step objects carry warnings() that sample() callers
+    # consume (base_hmc.py:202-230, nuts.py:226-238); here the same checks
+    # run on the assembled stats and are logged, so a funnel run reports
+    # its divergences/acceptance without user code. R-hat needs the trace
+    # scanned per dimension — skipped above a size cutoff so huge runs
+    # don't pay seconds of host post-processing they didn't ask for.
+    if trace.shape[1] > 0 and compute_convergence_checks:
+        try:
+            from .report import warnings_from_stats
+
+            # R-hat scans the whole trace per dimension on the host —
+            # capped so big sweeps don't pay seconds of post-processing
+            # (pass compute_convergence_checks=False to skip everything)
+            small = trace.size <= 50_000_000
+            warns = warnings_from_stats(
+                stats,
+                target_accept=step.config.target_accept,
+                max_treedepth=getattr(step.config, "max_treedepth", None),
+                tune=tune if collect_tune else 0,
+                trace=trace if small else None,
+            )
+            for w in warns:
+                (_log.error if w.level == "error" else _log.warning)(
+                    "%s: %s", w.kind.name, w.message)
+        except Exception:  # never fail a finished run on the reporter
+            _log.debug("Post-run warning generation failed.", exc_info=True)
 
     if return_final_state:
         return trace, stats, final_states
