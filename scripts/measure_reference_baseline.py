@@ -47,9 +47,9 @@ sys.path.insert(0, repo_root)
 from littlemcmc_tpu.utils.diagnostics import ess_bulk  # noqa: E402
 
 
-def run_config(name, logp_dlogp_func, ndim, chains=4, tune=500, draws=1000):
+def run_config(name, logp_dlogp_func, ndim, chains=4, tune=500, draws=1000,
+               init="auto"):
     t0 = time.perf_counter()
-    traces = []
     # Sequential chains (cores=1): the reference's only correct path.
     trace, stats = ref_lmc.sample(
         logp_dlogp_func=logp_dlogp_func,
@@ -60,6 +60,7 @@ def run_config(name, logp_dlogp_func, ndim, chains=4, tune=500, draws=1000):
         cores=1,
         progressbar=False,
         random_seed=42,
+        init=init,
     )
     elapsed = time.perf_counter() - t0
     trace = np.asarray(trace)  # (chains, draws, ndim)
@@ -103,6 +104,15 @@ def main():
 
     results["corr_gaussian_100d"] = run_config(
         "100-d correlated Gaussian (diag adapt)", corr_gauss, 100
+    )
+
+    # Same target with the reference's dense metric (its best algorithm
+    # on this config: jitter+adapt_full collapses the deep trees the
+    # diag metric needs). bench.py compares our best engine against the
+    # best reference row, metric for metric.
+    results["corr_gaussian_100d_full"] = run_config(
+        "100-d correlated Gaussian (full adapt)", corr_gauss, 100,
+        init="jitter+adapt_full",
     )
 
     meta = {
