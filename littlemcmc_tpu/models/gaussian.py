@@ -124,9 +124,15 @@ class CorrelatedGaussian:
             prec_pad = prec_pad.at[:n, :n].set(
                 jnp.asarray(self.prec, jnp.float32))
 
+            from ..math import dot_f32x3
+
             def fn(q, prec):
-                g = -jnp.dot(q, prec, precision="highest",
-                             preferred_element_type=jnp.float32)
+                # bf16x3 split matvec: Mosaic has no 3-pass HIGH dot, and
+                # "highest" (6 passes) is ~60% of the whole per-leaf cost
+                # at this shape (scripts/leaf_cost_probe.py). ~2^-21
+                # relative error — far inside the validation gates
+                # (posterior_var_ratio, VALIDATION z-scores).
+                g = -dot_f32x3(q, prec)
                 return 0.5 * jnp.sum(q * g, axis=1, keepdims=True), g
 
             self._traj_spec = PallasModelSpec(fn, (prec_pad,), n)

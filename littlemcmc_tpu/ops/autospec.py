@@ -315,8 +315,14 @@ def _is_logaddexp_call(eqn) -> bool:
                 out = _eval_jaxpr(inner.jaxpr, inner.consts, *vals)
                 ref = np.logaddexp(*vals)
                 got = np.asarray(out[0])
+                # identification tolerance, not a precision gate: any
+                # non-logaddexp differs at O(1), while backend
+                # transcendentals legitimately differ from float64
+                # numpy by ~1e-4 in f32 (measured 6.3e-5 on the v5e —
+                # the tighter round-3 gate silently disabled the
+                # substitution on TPU, the one backend it exists for)
                 if (len(out) != 1 or got.shape != ref.shape
-                        or not np.allclose(got, ref, rtol=1e-5, atol=1e-6)):
+                        or not np.allclose(got, ref, rtol=1e-4, atol=2e-4)):
                     return False
     except Exception:
         return False
