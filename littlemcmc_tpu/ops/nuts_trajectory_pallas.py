@@ -315,14 +315,17 @@ class _Lanes:
 
             return velE, velE
         # shared covariance (inverse mass): velocity = p @ COV.
-        # Energy-critical velocities (drift, kinetic) use exact f32;
-        # U-turn *decision* velocities may use the fast default (any
+        # Energy-critical velocities (drift, kinetic) use the bf16x3
+        # split (f32-grade, ~2^-21 relative — Mosaic has no 3-pass HIGH
+        # and "highest" costs 6 passes; at realistic tree depths the two
+        # velocity matmuls per leaf are ~2/3 of the dense kernel's MXU
+        # time). U-turn *decision* velocities use the fast default (any
         # deterministic stopping rule is valid, and the decisions are
         # insensitive at the 1e-3 level).
+        from ..math import dot_f32x3
 
         def velE(p_):
-            return jnp.dot(p_, V, precision="highest",
-                           preferred_element_type=jnp.float32)
+            return dot_f32x3(p_, V)
 
         def velC(p_):
             return jnp.dot(p_, V, preferred_element_type=jnp.float32)
