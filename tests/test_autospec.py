@@ -227,10 +227,14 @@ def test_stable_substitute_preserves_user_custom_jvp():
 
     x = jnp.asarray([0.5, 1.0, -1.0, 2.0], jnp.float32)
     sub = stable_substitute(f, 4)
+    # the pass-through gate is the 7x-scaled JVP surviving (a dropped
+    # rule errs by 7x); the logaddexp term IS substituted, so values
+    # carry f32 transcendental noise between the two correct forms
+    # (~1.4e-6 relative measured on the v5e)
     np.testing.assert_allclose(np.asarray(sub(x)), np.asarray(f(x)),
-                               rtol=1e-6)
+                               rtol=1e-5)
     np.testing.assert_allclose(np.asarray(jax.grad(sub)(x)),
-                               np.asarray(jax.grad(f)(x)), rtol=1e-6)
+                               np.asarray(jax.grad(f)(x)), rtol=1e-5)
 
 
 def test_autospec_interpret_e2e_posterior_parity():
