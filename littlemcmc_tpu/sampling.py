@@ -1164,6 +1164,20 @@ def sample(
                         and isinstance(pot_template, QuadPotentialFullAdapt)))
         lowrank_ok = (bool(cross_chain_adapt)
                       and isinstance(pot_template, QuadPotentialLowRankAdapt))
+        # Measured election (AB_FUSED.json, BENCH_r04): the fused engine
+        # wins wherever lane packing applies (small-n: 1.2-3.5x) and on
+        # pooled/dense metrics (on-core pooled Welford + L^-1-matmul
+        # momentum: the 532k-ESS/s headline engine), but LOSES on
+        # unpacked per-chain diag configs (n ~ 100: 0.65-0.83x — its
+        # VMEM budget forces smaller chain blocks than the per-draw
+        # kernel's 512). Auto mode routes that one case to the per-draw
+        # engine; fuse_draws=True still forces the fused path.
+        if (fuse_draws is None and diag_ok and not cross_chain_adapt
+                and not (dense_ok or lowrank_ok)):
+            from .ops.nuts_trajectory_pallas import resolve_pack
+
+            if resolve_pack(effective_spec, model_ndim, local_chains) == 1:
+                diag_ok = False
         # Auto mode consults the Mosaic capability probe (one-time, cached)
         # so an on-chip lowering regression degrades to the per-draw engine
         # instead of crashing the first fused chunk; an explicit

@@ -842,6 +842,40 @@ def test_fused_probe_failure_gates_auto_selection(monkeypatch):
     assert tr2.shape == (8, 50, 2)
 
 
+def test_auto_election_routes_unpacked_perchain_diag_to_per_draw(monkeypatch):
+    """Auto mode (fuse_draws=None) must NOT build the fused factory for
+    an unpacked (pack == 1) per-chain diag config — the measured losing
+    case (AB_FUSED.json: 0.65-0.83x at n=100) — while fuse_draws=True
+    still forces it."""
+    import littlemcmc_tpu.nuts as nuts_mod
+    from littlemcmc_tpu.ops import fused_probe
+
+    n = 20  # n + 4 > 16 lanes => natural_pack == 1
+    model = models.CorrelatedGaussian(n)
+    step = lmc.NUTS(model_ndim=n,
+                    pallas_trajectory=model.pallas_trajectory_spec(),
+                    pallas_interpret=True)
+    monkeypatch.setattr(fused_probe, "fused_engine_supported",
+                        lambda interpret=False: True)
+
+    def _explode(*a, **k):
+        raise AssertionError("auto mode must route unpacked per-chain "
+                             "diag to the per-draw engine")
+
+    monkeypatch.setattr(nuts_mod, "build_fused_nuts_runner_factory", _explode)
+    tr, _ = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=n,
+                       chains=16, tune=40, draws=40, random_seed=2,
+                       step=step, progressbar=False, fuse_draws=None)
+    assert tr.shape == (16, 40, n)
+
+    # explicit fuse_draws=True still builds the fused factory
+    monkeypatch.undo()
+    tr2, _ = lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=n,
+                        chains=16, tune=40, draws=40, random_seed=2,
+                        step=step, progressbar=False, fuse_draws=True)
+    assert tr2.shape == (16, 40, n)
+
+
 def test_fused_pooled_lowrank_e2e():
     """Pooled adapt_lowrank: EVERY phase fused. Tune chunks run the
     per-chain diagonal Welford on core with the shared factor frozen;
