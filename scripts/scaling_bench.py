@@ -4,7 +4,14 @@ The reference's only scaling axis is OS processes (at most `cores`
 chains active); here chains are vectorized lanes, so single-chip
 throughput should scale near-linearly until the VPU/MXU saturate.
 Device-only methodology (compile and host transfers excluded), 100-d
-correlated Gaussian with the Pallas trajectory kernel.
+correlated Gaussian. Two engines per chain count:
+
+- per-draw diag (the round-1-3 headline engine): lock-step tails bound
+  its scaling — every 512-chain block waits for its deepest tree, and
+  E[max tree] grows with the block count.
+- fused pooled-dense (the round-4 headline engine): the pooled metric
+  collapses trees to near-uniform depth (lockstep efficiency 0.94), so
+  scaling is bounded by compute, not tails.
 
 Run: python scripts/scaling_bench.py  (writes BENCH_SCALING.json)
 """
@@ -26,11 +33,14 @@ CHAIN_COUNTS = (256, 1024, 4096, 16384)
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     import littlemcmc_tpu as lmc
     from littlemcmc_tpu import models
     from littlemcmc_tpu.model import as_logp_grad
-    from littlemcmc_tpu.sampling import _make_init_fn, _make_chunk_runner
+    from littlemcmc_tpu.nuts import build_fused_nuts_runner_factory
+    from littlemcmc_tpu.sampling import (_make_adaptive_potential,
+                                         _make_chunk_runner, _make_init_fn)
 
     model = models.CorrelatedGaussian(N)
     logp_grad = as_logp_grad(model.logp_grad)
@@ -39,45 +49,80 @@ def main():
     for chains in CHAIN_COUNTS:
         step = lmc.NUTS(model_ndim=N,
                         pallas_trajectory=model.pallas_trajectory_spec())
-        kernel = step.build_kernel(logp_grad)
-        init_fn = _make_init_fn(step.config, logp_grad, N, False,
-                                jax.numpy.float32, False)
         key = jax.random.key(7)
         k_init, k_chains = jax.random.split(key)
-        starts = 2.0 * jax.random.uniform(
-            k_init, (chains, N), jax.numpy.float32) - 1.0
-        states = init_fn(jax.random.split(k_chains, chains), starts)
+        starts = 2.0 * jax.random.uniform(k_init, (chains, N),
+                                          jnp.float32) - 1.0
+        chain_keys = jax.random.split(k_chains, chains)
 
-        tune_chunk = _make_chunk_runner(kernel, TUNE, True, False, False)
-        draw_chunk = _make_chunk_runner(kernel, DRAWS, False, False, False)
-        # warm (compile)
-        s, _, _ = tune_chunk(states)
-        s2, _, _ = draw_chunk(s)
+        row = {"chains": chains}
+        # engine A: per-draw diag
+        kernel = step.build_kernel(logp_grad)
+        init_fn = _make_init_fn(step.config, logp_grad, N, "diag",
+                                jnp.float32, False)
+        states = init_fn(chain_keys, starts)
+        tc = _make_chunk_runner(kernel, TUNE, True, False, False)
+        dc = _make_chunk_runner(kernel, DRAWS, False, False, False)
+        s, _, _ = tc(states)
+        s2, _, _ = dc(s)
         jax.block_until_ready(s2.q)
         t0 = time.perf_counter()
-        s, _, _ = tune_chunk(states)
-        s2, _, nd = draw_chunk(s)
+        s, _, _ = tc(states)
+        s2, _, _ = dc(s)
         jax.block_until_ready(s2.q)
         wall = time.perf_counter() - t0
-        tps = chains * (TUNE + DRAWS) / wall
-        results[str(chains)] = {
-            "chains": chains,
+        row["per_draw_diag"] = {
             "device_seconds": round(wall, 2),
-            "transitions_per_sec": round(tps, 1),
-            "per_chain_transitions_per_sec": round(tps / chains, 2),
+            "transitions_per_sec": round(chains * (TUNE + DRAWS) / wall, 1),
         }
-        print(json.dumps(results[str(chains)]))
 
-    base = results[str(CHAIN_COUNTS[0])]["transitions_per_sec"]
-    for c in CHAIN_COUNTS:
-        r = results[str(c)]
-        r["scaling_efficiency_vs_%d" % CHAIN_COUNTS[0]] = round(
-            r["transitions_per_sec"] / base / (c / CHAIN_COUNTS[0]), 3)
+        # engine B: fused pooled-dense (the round-4 headline engine)
+        try:
+            pot_full = _make_adaptive_potential(N, jnp.zeros(N), "full",
+                                                jnp.float32)
+            fac = build_fused_nuts_runner_factory(
+                step.config, model.pallas_trajectory_spec(), pot_full,
+                N, chains, pooled=True)
+            init_full = _make_init_fn(step.config, logp_grad, N, "full",
+                                      jnp.float32, False)
+            states_f = init_full(chain_keys, starts)
+            tcf = fac(TUNE, True, False)
+            dcf = fac(DRAWS, False, False)
+            s, _, _ = tcf(states_f)
+            s2, _, _ = dcf(s)
+            jax.block_until_ready(s2.q)
+            t0 = time.perf_counter()
+            s, _, _ = tcf(states_f)
+            s2, _, _ = dcf(s)
+            jax.block_until_ready(s2.q)
+            wallf = time.perf_counter() - t0
+            row["fused_dense_pooled"] = {
+                "device_seconds": round(wallf, 2),
+                "transitions_per_sec": round(
+                    chains * (TUNE + DRAWS) / wallf, 1),
+            }
+        except Exception as e:
+            row["fused_dense_pooled"] = {"error": f"{type(e).__name__}: {e}"}
+
+        results[str(chains)] = row
+        print(json.dumps(row), flush=True)
+
+    base_c = CHAIN_COUNTS[0]
+    for eng in ("per_draw_diag", "fused_dense_pooled"):
+        base = results[str(base_c)].get(eng, {}).get("transitions_per_sec")
+        if not base:
+            continue
+        for c in CHAIN_COUNTS:
+            r = results[str(c)].get(eng)
+            if r and "transitions_per_sec" in r:
+                r["scaling_efficiency_vs_%d" % base_c] = round(
+                    r["transitions_per_sec"] / base / (c / base_c), 3)
 
     out = os.path.join(REPO, "BENCH_SCALING.json")
     with open(out, "w") as f:
         json.dump({"device": str(jax.devices()[0]), "ndim": N,
-                   "results": results}, f, indent=2)
+                   "tune": TUNE, "draws": DRAWS, "results": results}, f,
+                  indent=2)
     print("wrote", out)
 
 
