@@ -1188,8 +1188,23 @@ def build_fused_nuts_runner_factory(
 
         @jax.jit
         def run_chunk(states: ChainState):
-            key_next, k_seed = _split_each(states.rng_key, 2)
-            seed = jax.random.key_data(k_seed)[0].astype(jnp.int32)
+            # Chunk-invariant draw streams (reference property: draws
+            # depend only on the seed, ``sampling.py:496-497``). The
+            # kernel's per-draw stream is
+            #   seed0 = w0 + i_blk*7919 + t*15485863
+            # with ``t`` the in-chunk grid index; folding
+            # ``iter0*15485863`` into ``w0`` keys the stream on the
+            # GLOBAL iteration index, and deriving ``(w0, w1)`` from the
+            # chain key by a fixed fold (never advancing the key across
+            # chunks) removes the chunk count from the derivation — so
+            # ``progress_every`` cannot change the draws.
+            k0 = jax.tree.map(lambda x: x[0], states.rng_key)
+            words = jax.random.key_data(
+                jax.random.fold_in(k0, 0x46AE)).astype(jnp.int32)
+            iter0 = states.iter_count.reshape(-1)[0].astype(jnp.int32)
+            seed = jnp.stack(
+                [words[0] + iter0 * jnp.int32(15485863), words[1]])
+            key_next = states.rng_key
             dense_welford = (_pool_dense_welford(states.potential)
                              if adapt_dense else None)
             if dense_welford is not None:

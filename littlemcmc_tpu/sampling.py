@@ -81,6 +81,43 @@ class _StepSpec:
         )
         self.logp_dlogp_func = logp_dlogp_func
         self.model_ndim = model_ndim
+        # last-run outputs stashed by sample() so the reference's
+        # ``step.warnings()`` call pattern works unmodified
+        self._last_stats = None
+        self._last_tune = 0
+        self._last_trace = None
+
+    def warnings(self, stats=None, *, tune=None, trace=None):
+        """End-of-run sampler warnings — reference ``step.warnings()`` shim.
+
+        The reference's stateful step objects accumulate warnings during
+        sampling and expose them via ``step.warnings()``
+        (``base_hmc.py:202-230``, ``nuts.py:226-238``). These specs are
+        stateless, so ``sample()`` stashes its assembled stats/trace on
+        the spec after each run; calling ``step.warnings()`` with no
+        arguments reproduces the reference behavior on the most recent
+        run. Pass ``stats`` (a ``{name: (chains, draws)}`` dict as
+        returned by ``sample()``) to check any other run; ``tune`` marks
+        leading tuning columns to exclude and ``trace`` enables the
+        R-hat convergence check.
+        """
+        from .report import warnings_from_stats
+
+        if stats is None:
+            stats = self._last_stats
+            if stats is None:
+                return []
+            if tune is None:
+                tune = self._last_tune
+            if trace is None:
+                trace = self._last_trace
+        return warnings_from_stats(
+            stats,
+            target_accept=self.config.target_accept,
+            max_treedepth=getattr(self.config, "max_treedepth", None),
+            tune=int(tune or 0),
+            trace=trace,
+        )
 
 
 class NUTS(_StepSpec):
@@ -606,6 +643,10 @@ _AUTO_CHUNK = 250
 # adaptation (see POOLED_VS_PERCHAIN.json for the measurement)
 _POOLED_PROMOTE_CHAINS = 128
 
+# fused chunk-runner factories keyed by structural config — see the
+# construction site in sample() for why this must outlive a single call
+_FUSED_FACTORY_CACHE: dict = {}
+
 
 def _run_chunked(
     kernel,
@@ -677,6 +718,7 @@ def _run_chunked(
     # progress line, checkpoint, or callback actually needs the value.
     n_div_dev = jnp.asarray(n_div_total, jnp.int32)
     _fused_synced: set = set()  # fused programs proven to execute
+    fell_back = False  # fused engine replaced by per-draw mid-run
     try:
         tune_cap = getattr(runner_factory, "tune_chunk_cap", None)
         while done < total:
@@ -728,6 +770,7 @@ def _run_chunked(
                     "the per-draw engine for the rest of the run.",
                     type(e).__name__, e)
                 runner_factory = None
+                fell_back = True
                 kernel = fallback_kernel_fn()
                 continue
             if collect:
@@ -785,7 +828,7 @@ def _run_chunked(
                          done, checkpoint_dir)
 
     jax.block_until_ready(states)  # callers time/serialize right after
-    return states, outs
+    return states, outs, fell_back
 
 
 def sample(
@@ -818,6 +861,7 @@ def sample(
     resume: bool = False,
     fuse_draws: Optional[bool] = None,
     compute_convergence_checks: bool = True,
+    perf_report: Optional[dict] = None,
     **kwargs,
 ):
     """Draw posterior samples with NUTS (default) or HMC, fully on device.
@@ -857,10 +901,20 @@ def sample(
       multi-draw Pallas kernel (T transitions per ``pallas_call`` with
       on-core momentum refresh, dual averaging, and Welford adaptation)
       whenever it applies; ``False`` forces the per-draw path (useful
-      for A/B benchmarking and for bitwise chunk-invariant streams —
-      the fused engine's draws depend on chunk boundaries, the per-draw
-      engine's do not); ``True`` requires the fused engine and raises
-      if the configuration cannot use it.
+      for A/B benchmarking); ``True`` requires the fused engine and
+      raises if the configuration cannot use it. Both engines' draw
+      streams are chunk-invariant (keyed on seed and global iteration,
+      so ``progress_every`` never changes the draws); for pooled
+      metrics the *metric refresh* cadence under the fused engine is
+      per chunk boundary (Stan-style) rather than per draw.
+    - ``perf_report``: pass a dict and ``sample()`` fills it with the
+      engine that actually ran (``engine``, e.g. ``fused_dense_pooled``;
+      ``trajectory`` = pallas/xla; ``pack``; ``chain_block``; ``chunk``)
+      and timing split into ``sample_seconds`` (device sampling,
+      compile included on first use — warm the jit caches with a short
+      run first for steady-state numbers) and ``transfer_seconds``
+      (device→host trace/stats fetch). This is the instrument behind
+      ``AB_FUSED.json`` / ``BENCH_SUITE.json`` engine stamps.
     - ``compute_convergence_checks``: run the end-of-run warning checks
       (divergences, acceptance, BFMI, and — for traces under 50M
       elements — split R-hat) and log them, like the reference's
@@ -1198,16 +1252,42 @@ def sample(
                 from .nuts import build_fused_nuts_runner_factory as _bff
             else:
                 from .hmc import build_fused_hmc_runner_factory as _bff
-            bff_kwargs = {"pooled": bool(cross_chain_adapt)}
-            try:
-                fused_factory = _bff(
-                    step.config, effective_spec, pot_template, model_ndim,
-                    local_chains, mesh=mesh, chain_axis=chain_axis,
-                    interpret=step.pallas_interpret, **bff_kwargs,
-                )
-            except ValueError as e:
-                _log.info("Fused %s kernel unavailable (%s); using the "
-                          "per-draw path.", step.name, e)
+            # Cache the factory per structural config: the factory holds
+            # the jitted chunk runners (via its inner lru_cache), so a
+            # fresh factory per sample() call would retrace and RECOMPILE
+            # the fused engine every call — ~7 s of compile silently
+            # folded into every repeat run (this skewed the round-4
+            # fused-vs-per-draw A/B: the per-draw kernels are module-level
+            # cached, the fused ones were not). The template contributes
+            # only structure (class, rank, window multiplier, leaf
+            # shapes/dtypes), captured in the key.
+            pot_struct = (
+                type(pot_template).__name__,
+                getattr(pot_template, "rank", 0),
+                getattr(pot_template, "window_multiplier", 1.0),
+                tuple((tuple(l.shape), str(l.dtype))
+                      for l in jax.tree.leaves(pot_template)
+                      if hasattr(l, "shape")),
+            )
+            cache_key = (step.name, step.config, effective_spec, pot_struct,
+                         model_ndim, local_chains, mesh, chain_axis,
+                         step.pallas_interpret, bool(cross_chain_adapt))
+            fused_factory = _FUSED_FACTORY_CACHE.get(cache_key)
+            if fused_factory is None:
+                try:
+                    fused_factory = _bff(
+                        step.config, effective_spec, pot_template,
+                        model_ndim, local_chains, mesh=mesh,
+                        chain_axis=chain_axis,
+                        interpret=step.pallas_interpret,
+                        pooled=bool(cross_chain_adapt),
+                    )
+                    if len(_FUSED_FACTORY_CACHE) >= 64:
+                        _FUSED_FACTORY_CACHE.clear()
+                    _FUSED_FACTORY_CACHE[cache_key] = fused_factory
+                except ValueError as e:
+                    _log.info("Fused %s kernel unavailable (%s); using the "
+                              "per-draw path.", step.name, e)
     if fuse_draws is True and fused_factory is None:
         raise ValueError(
             "fuse_draws=True but the fused multi-draw kernel is unavailable "
@@ -1259,6 +1339,44 @@ def sample(
                               else _build_per_draw_kernel)
     collect_tune = not discard_tuned_samples
 
+    # --- Engine identification (perf_report / artifact stamps) -----------
+    pot_for_tag = step.potential
+    if pot_for_tag is not None:
+        if isinstance(pot_for_tag, (QuadPotentialDiag, QuadPotentialDiagAdapt)):
+            _metric_tag = "diag"
+        elif isinstance(pot_for_tag, QuadPotentialLowRankAdapt):
+            _metric_tag = "lowrank"
+        else:
+            _metric_tag = "dense"
+    else:
+        _metric_tag = {"diag": "diag", "full": "dense",
+                       "lowrank": "lowrank"}[metric_kind]
+    engine_name = (
+        ("fused_" if fused_factory is not None else "per_draw_")
+        + _metric_tag + ("_pooled" if cross_chain_adapt else ""))
+    if perf_report is not None:
+        _pack = 1
+        if effective_spec is not None:
+            try:
+                from .ops.nuts_trajectory_pallas import resolve_pack
+
+                _lc = (chains // (mesh.shape[chain_axis]
+                                  if chain_axis in mesh.shape else mesh.size)
+                       if mesh is not None else chains)
+                _pack = resolve_pack(effective_spec, model_ndim, _lc)
+            except Exception:
+                pass
+        perf_report.update(
+            engine=engine_name,
+            trajectory=("pallas" if (fused_factory is not None
+                                     or effective_spec is not None)
+                        else "xla"),
+            pack=_pack,
+            chain_block=int(getattr(step.config, "chain_block", 0)),
+            chunk=(progress_every
+                   or (_AUTO_CHUNK if fused_factory is not None else None)),
+        )
+
     if progressbar:
         _log.info(
             "Sampling %d chains (%d tune + %d draws, vectorized on %s)...",
@@ -1282,9 +1400,10 @@ def sample(
             "Multi-process checkpointing: %r must be on a filesystem "
             "shared by all %d processes.", checkpoint_dir, jax.process_count(),
         )
+    fell_back = False
     if (progress_every or checkpoint_dir or resume or callback or auto_chunk
             or fused_factory is not None):
-        final_states, outs = _run_chunked(
+        final_states, outs, fell_back = _run_chunked(
             kernel, states0, tune, draws, collect_tune, cross_chain_adapt,
             progress_every=progress_every
             or (_AUTO_CHUNK if (auto_chunk or fused_factory is not None)
@@ -1350,6 +1469,7 @@ def sample(
         qs_d = _cat([o[0] for o in outs])
         stats_d = {name: _cat([getattr(o[1], name) for o in outs])
                    for name in info_fields}
+        t_xfer = time.perf_counter()
         if jax.process_count() > 1:
             # multi-host: shards live on other processes; gather over DCN
             from jax.experimental import multihost_utils
@@ -1358,6 +1478,8 @@ def sample(
                 (qs_d, stats_d), tiled=True)
         else:
             qs, stats_h = jax.device_get((qs_d, stats_d))
+        if perf_report is not None:
+            perf_report["transfer_seconds"] = time.perf_counter() - t_xfer
         trace = np.transpose(np.asarray(qs), (1, 0, 2))  # (chains, draws, ndim)
 
         stats = {}
@@ -1374,6 +1496,21 @@ def sample(
             "for a full trace.",
             expected - trace.shape[1], expected, trace.shape[1],
         )
+
+    if perf_report is not None:
+        perf_report["sample_seconds"] = elapsed
+        perf_report.setdefault("transfer_seconds", 0.0)
+        if fell_back:
+            perf_report["engine"] = (
+                engine_name.replace("fused_", "per_draw_", 1)
+                + "+fused_fallback")
+
+    # Stash outputs on the spec so the reference's ``step.warnings()``
+    # call pattern works (references, not copies — the caller holds the
+    # same arrays).
+    step._last_stats = stats
+    step._last_tune = tune if collect_tune else 0
+    step._last_trace = trace
 
     # --- Surface end-of-run sampler warnings ------------------------------
     # The reference's step objects carry warnings() that sample() callers

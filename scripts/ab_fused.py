@@ -1,10 +1,27 @@
-"""A/B: fused multi-draw engine vs per-draw engine, end-to-end sample().
+"""A/B: fused multi-draw engine vs per-draw engine, device-only timing.
 
-The round-2 verdict's #1 done-criterion: eight-schools and config-1
-end-to-end transitions/s must reach >=2x the round-2 (per-draw) numbers
-with the fused engine. This measures both engines through the public
-``sample(fuse_draws=...)`` knob on the real backend and writes
-AB_FUSED.json at the repo root.
+Round-5 rebuild (VERDICT r4 item 1). The round-4 version timed public
+``sample()`` wall clock through the tunneled dev box — which folds the
+device→host trace transfer (tens of MB at a session-dependent ~7-30 MB/s)
+AND, for the fused engine, a full per-call recompile (the fused runner
+factories were rebuilt per ``sample()`` call until round 5) into every
+row. Its election claims were therefore unadjudicable. This version:
+
+- times DEVICE sampling only, via ``sample(perf_report=...)`` — the
+  chunk loop bracketed by ``block_until_ready``, trace transfer timed
+  separately and excluded;
+- warms each (config, engine) once so the factory caches hold the
+  compiled programs (compile excluded, like ``bench.py``);
+- runs three arms per config through the public knob:
+  ``per_draw`` (fuse_draws=False), ``fused`` (True), ``auto`` (None) —
+  so the artifact directly records whether the auto election picks the
+  measured winner (done-criterion: auto >= 0.95 * max(arms));
+- stamps the engine that actually ran into every row
+  (``perf_report["engine"]``).
+
+Also includes the exact flagship config (1024-chain pooled dense).
+``tests/test_engine_election.py`` pins the auto-election table to this
+artifact.
 
 Run (on TPU): python scripts/ab_fused.py
 """
@@ -19,18 +36,16 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# Round-2 per-draw BENCH_SUITE.json transitions/s on the same configs
-# (the >=2x gate's denominators). corr_gaussian_100d_full_pooled is the
-# VERDICT #2 target (per-chain row 14.8k; pooled per-draw row 56.5k).
-R02 = {"std_normal_1d": 315263.1, "eight_schools_10k_chains": 555711.0,
-       "corr_gaussian_100d_diag": 59113.6,
-       "corr_gaussian_100d_full_pooled": 56489.2,
-       # no round-2 pooled-diag suite row: compare against the per-chain
-       # diag row, the closest per-draw ancestor of this config
-       "corr_gaussian_100d_diag_pooled": 59113.6}
+
+def _ess_min(trace) -> float:
+    from littlemcmc_tpu.utils.diagnostics import ess_bulk
+
+    tr = np.asarray(trace)
+    return float(np.nanmin([ess_bulk(tr[:, :, i])
+                            for i in range(tr.shape[2])]))
 
 
-def run(name, model, chains, tune, draws, target_accept, fuse, **extra):
+def run_arm(name, model, chains, tune, draws, target_accept, fuse, extra):
     import littlemcmc_tpu as lmc
 
     common = dict(
@@ -38,18 +53,36 @@ def run(name, model, chains, tune, draws, target_accept, fuse, **extra):
         chains=chains, random_seed=42, progressbar=False,
         progress_every=250, target_accept=target_accept,
         pallas_trajectory=model.pallas_trajectory_spec(), fuse_draws=fuse,
-        **extra,
+        compute_convergence_checks=False, **extra,
     )
-    lmc.sample(tune=250, draws=250, **common)  # warm the jit caches
+    # Warm every jitted program this shape will use (chunk lengths 250 /
+    # tune-cap; factories and kernels are module-cached across calls).
+    lmc.sample(tune=250, draws=250, perf_report={}, **common)
+    rep = {}
     t0 = time.perf_counter()
-    trace, stats = lmc.sample(tune=tune, draws=draws, **common)
+    trace, stats = lmc.sample(tune=tune, draws=draws, perf_report=rep,
+                              **common)
     wall = time.perf_counter() - t0
-    tps = chains * (tune + draws) / wall
+    dev_s = rep["sample_seconds"]
+    tps = chains * (tune + draws) / dev_s
     div = float(np.asarray(stats["diverging"]).mean())
-    print(f"{name} fuse={fuse}: {tps:,.0f} trans/s  wall={wall:.2f}s "
+    t0 = time.perf_counter()
+    ess = _ess_min(trace)
+    ess_s = time.perf_counter() - t0
+    print(f"{name} fuse={fuse} [{rep['engine']}]: {tps:,.0f} trans/s "
+          f"(device {dev_s:.2f}s, transfer {rep['transfer_seconds']:.2f}s, "
+          f"wall {wall:.2f}s) minESS={ess:,.0f} ({ess_s:.0f}s) "
           f"div={div:.4f}", flush=True)
-    return {"transitions_per_sec": round(tps, 1), "wall_s": round(wall, 2),
-            "divergence_rate": round(div, 5)}
+    return {
+        "engine": rep["engine"],
+        "transitions_per_sec_device": round(tps, 1),
+        "device_sample_s": round(dev_s, 3),
+        "transfer_s": round(rep["transfer_seconds"], 2),
+        "wall_s": round(wall, 2),
+        "min_bulk_ess": round(ess, 1),
+        "ess_per_device_sec": round(ess / dev_s, 1),
+        "divergence_rate": round(div, 5),
+    }
 
 
 def main():
@@ -63,37 +96,52 @@ def main():
             models.CorrelatedGaussian(100), 1024, 500, 1000, 0.8, {}),
         "eight_schools_10k_chains": (
             models.EightSchools(), 10240, 500, 500, 0.95, {}),
-        # pooled diag: EVERY phase fused (per-chain Welford on core,
-        # pooling once per chunk boundary) — new in round 3
         "corr_gaussian_100d_diag_pooled": (
             models.CorrelatedGaussian(100), 1024, 500, 1000, 0.8,
             {"cross_chain_adapt": True}),
-        # pooled dense: EVERY phase fused — tune chunks carry the
-        # block-local pooled covariance on core (round-3 adapt_dense)
         "corr_gaussian_100d_full_pooled": (
             models.CorrelatedGaussian(100), 256, 500, 1000, 0.8,
             {"init": "jitter+adapt_full", "cross_chain_adapt": True}),
+        # the exact flagship config (bench.py headline shape)
+        "corr_gaussian_100d_full_pooled_1024": (
+            models.CorrelatedGaussian(100), 1024, 500, 1000, 0.8,
+            {"init": "jitter+adapt_full", "cross_chain_adapt": True}),
     }
-    out = {"backend": jax.default_backend(), "results": {}}
-    for name, (model, chains, tune, draws, ta, extra) in configs.items():
-        row = {}
-        for fuse in (False, None):
-            label = "per_draw" if fuse is False else "fused_auto"
-            row[label] = run(name, model, chains, tune, draws, ta, fuse,
-                             **extra)
-        ratio = (row["fused_auto"]["transitions_per_sec"]
-                 / row["per_draw"]["transitions_per_sec"])
-        row["fused_over_perdraw"] = round(ratio, 2)
-        row["r02_transitions_per_sec"] = R02[name]
-        row["fused_over_r02"] = round(
-            row["fused_auto"]["transitions_per_sec"] / R02[name], 2)
-        out["results"][name] = row
-        print(f"{name}: fused/per-draw = {ratio:.2f}x, "
-              f"fused/r02 = {row['fused_over_r02']:.2f}x", flush=True)
-
+    only = sys.argv[1:] or None
+    out = {"backend": jax.default_backend(),
+           "timing": "device-only (sample(perf_report=...)); compile "
+                     "excluded by a warm run; transfer excluded",
+           "results": {}}
     path = os.path.join(REPO, "AB_FUSED.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
+    for name, (model, chains, tune, draws, ta, extra) in configs.items():
+        if only and name not in only:
+            continue
+        row = {}
+        for label, fuse in (("per_draw", False), ("fused", True),
+                            ("auto", None)):
+            try:
+                row[label] = run_arm(name, model, chains, tune, draws, ta,
+                                     fuse, extra)
+            except ValueError as e:
+                if fuse is True:
+                    row[label] = {"unavailable": str(e)}
+                    print(f"{name} fused: unavailable", flush=True)
+                else:
+                    raise
+        arms = {k: v["transitions_per_sec_device"] for k, v in row.items()
+                if "transitions_per_sec_device" in v}
+        best = max(arms, key=arms.get)
+        row["winner"] = row[best]["engine"]
+        if "fused" in arms and "per_draw" in arms:
+            row["fused_over_perdraw"] = round(
+                arms["fused"] / arms["per_draw"], 3)
+        row["auto_over_best"] = round(
+            arms["auto"] / max(arms.values()), 3)
+        out["results"][name] = row
+        print(f"{name}: winner={row['winner']} "
+              f"auto/best={row['auto_over_best']}", flush=True)
+        with open(path, "w") as f:  # incremental: a late hang loses nothing
+            json.dump(out, f, indent=2)
     print("wrote", path)
 
 

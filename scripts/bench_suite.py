@@ -54,8 +54,10 @@ def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=
     # size as the timed run, so the jit caches are hot). Untimed.
     lmc.sample(tune=CHUNK, draws=CHUNK, **common)
 
+    rep = {}
     t_all = time.perf_counter()
-    trace, stats = lmc.sample(tune=tune, draws=draws, **common)
+    trace, stats = lmc.sample(tune=tune, draws=draws, perf_report=rep,
+                              **common)
     wall = time.perf_counter() - t_all
 
     ndim = model.ndim
@@ -70,6 +72,16 @@ def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=
         "draws": draws,
         "wall_seconds_warm": round(wall, 2),
         "transitions_per_sec": round(chains * (tune + draws) / wall, 1),
+        # device-only split + the engine that actually ran (VERDICT r4
+        # item 6: a regression in engine election must be visible per row)
+        "engine": rep.get("engine"),
+        "trajectory": rep.get("trajectory"),
+        "pack": rep.get("pack"),
+        "chain_block": rep.get("chain_block"),
+        "device_sample_seconds": round(rep.get("sample_seconds", wall), 2),
+        "transfer_seconds": round(rep.get("transfer_seconds", 0.0), 2),
+        "transitions_per_device_sec": round(
+            chains * (tune + draws) / rep.get("sample_seconds", wall), 1),
         "min_ess_bulk": round(float(np.nanmin(ess)), 1),
         "ess_per_sec_min_dim": round(float(np.nanmin(ess) / wall), 1),
         "max_rhat": round(float(np.nanmax(rhat)), 4),

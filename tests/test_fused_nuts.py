@@ -987,3 +987,30 @@ def test_fused_lowrank_midrun_fallback_is_statistically_exact(monkeypatch):
     vr = flat.var(0) / model.true_var
     assert vr.min() > 0.88 and vr.max() < 1.12, vr
     assert np.asarray(st["diverging"]).mean() < 0.02
+
+
+def test_fused_draws_are_chunk_invariant():
+    """The fused engines' draw streams are keyed on (seed, global
+    iteration), not on chunk boundaries: sampling the same seed with two
+    different ``progress_every`` chunkings must produce bitwise-equal
+    traces (the reference property that draws depend only on the seed,
+    ``sampling.py:496-497``; pooled metrics are exempt — their metric
+    refresh cadence is boundary-based by design and documented)."""
+    model = models.StandardNormal(4)
+
+    def run(progress_every, sampler):
+        step = sampler(model_ndim=4,
+                       pallas_trajectory=model.pallas_trajectory_spec(),
+                       pallas_interpret=True)
+        return lmc.sample(logp_dlogp_func=model.logp_grad, model_ndim=4,
+                          draws=120, tune=90, chains=16, random_seed=33,
+                          step=step, progressbar=False, fuse_draws=True,
+                          progress_every=progress_every)
+
+    for sampler in (lmc.NUTS, lmc.HamiltonianMC):
+        tr_a, st_a = run(70, sampler)
+        tr_b, st_b = run(25, sampler)
+        np.testing.assert_array_equal(np.asarray(tr_a), np.asarray(tr_b))
+        for k in st_a:
+            np.testing.assert_array_equal(np.asarray(st_a[k]),
+                                          np.asarray(st_b[k]), err_msg=k)
