@@ -543,6 +543,10 @@ def build_fused_hmc_runner_factory(
         # boundary already sees C*cap fresh samples). Without the cap a
         # single-chunk tune would adapt the step size against the initial
         # metric for the whole phase (measured: final step 0.53 vs 1.00,
-        # trees ~2x deeper in the draw phase).
+        # trees ~2x deeper in the draw phase). Early boundaries (10/20/50)
+        # refine the flat cap — see base.pooled_tune_schedule.
         factory.tune_chunk_cap = 50
+        from .base import pooled_tune_schedule
+
+        factory.tune_chunk_schedule = pooled_tune_schedule
     return factory

@@ -1315,6 +1315,12 @@ def build_fused_nuts_runner_factory(
         # handful of iterations to converge). Without the cap a
         # single-chunk tune would adapt the step size against the initial
         # metric for the whole phase (measured: final step 0.53 vs 1.00,
-        # trees ~2x deeper in the draw phase).
+        # trees ~2x deeper in the draw phase). The schedule refines the
+        # flat cap with early boundaries (10/20/50) — see
+        # base.pooled_tune_schedule; TUNE_PHASE_PROBE.json for the
+        # measured deep-tree prefix it removes.
         factory.tune_chunk_cap = 50
+        from .base import pooled_tune_schedule
+
+        factory.tune_chunk_schedule = pooled_tune_schedule
     return factory

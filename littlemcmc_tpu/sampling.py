@@ -647,6 +647,37 @@ _POOLED_PROMOTE_CHAINS = 128
 # construction site in sample() for why this must outlive a single call
 _FUSED_FACTORY_CACHE: dict = {}
 
+# fused chunk runners proven to execute on this process's backend (the
+# first-use failure sync in _run_chunked is skipped for these); holds a
+# strong ref so the id() keys stay valid
+_FUSED_PROVEN: dict = {}
+
+
+def elect_fused_engine(metric: str, pooled: bool, pack: int) -> bool:
+    """The measured auto-election table: fused multi-draw engine or the
+    per-draw trajectory kernel, for ``fuse_draws=None``.
+
+    Pinned to ``AB_FUSED.json`` (device-only timing, regenerated round 5;
+    ``tests/test_engine_election.py`` asserts this function picks each
+    config's measured winner):
+
+    - dense metrics (static or pooled): **fused** — the pooled-dense
+      flagship measures fused/per-draw = 15.8x at 1024 chains, 11.7x at
+      256 (momentum via an L^-1 matmul + boundary-cadence pooled
+      Welford, vs per-draw triangular solves and every-draw pooling);
+    - pooled low-rank: **fused** (same boundary-cadence structure);
+    - diagonal metrics: fused only where lane packing applies
+      (``pack > 1``, small-n models: 1.03-2.4x) — an *unpacked* diag
+      config (n ~ 100) loses in the fused engine (0.93-0.95x: its VMEM
+      budget forces smaller chain blocks than the per-draw kernel's
+      512), whether the adaptation is per-chain or cross-chain pooled
+      (pooled diag refreshes the shared metric from the same per-chain
+      Welford state, so the engines differ only in refresh cadence).
+    """
+    if metric in ("dense", "lowrank"):
+        return True
+    return pack > 1
+
 
 def _run_chunked(
     kernel,
@@ -717,18 +748,22 @@ def _run_chunked(
     # on the tunneled dev box), so it is only materialized when a
     # progress line, checkpoint, or callback actually needs the value.
     n_div_dev = jnp.asarray(n_div_total, jnp.int32)
-    _fused_synced: set = set()  # fused programs proven to execute
     fell_back = False  # fused engine replaced by per-draw mid-run
     try:
         tune_cap = getattr(runner_factory, "tune_chunk_cap", None)
+        tune_sched = getattr(runner_factory, "tune_chunk_schedule", None)
         while done < total:
             tuning = done < tune
             phase_end = tune if tuning else total
             step_len = base_step
-            if tuning and tune_cap:
-                # boundary-cadence adaptation (pooled-dense fused tune):
-                # the metric refreshes only at chunk boundaries, so tune
-                # chunks are capped to keep a Stan-like refresh cadence
+            if tuning and tune_sched is not None:
+                # boundary-cadence adaptation (pooled dense/low-rank fused
+                # tune): the metric refreshes only at chunk boundaries, so
+                # the chunking is the adaptation schedule — early small
+                # chunks collapse the identity-metric deep-tree prefix
+                # (base.pooled_tune_schedule)
+                step_len = min(step_len, tune_sched(done))
+            elif tuning and tune_cap:
                 step_len = min(step_len, tune_cap)
             stop = min(phase_end, done + step_len)
             chunk = stop - done
@@ -745,14 +780,20 @@ def _run_chunked(
                 new_states, out, ndiv = runner(states)
                 if (fallback_kernel_fn is not None
                         and runner_factory is not None
-                        and (chunk, tuning, collect) not in _fused_synced):
+                        and id(runner) not in _FUSED_PROVEN):
                     # First use of this fused program: force completion so
                     # an async-dispatched compile/launch failure raises
                     # HERE (inside the try) instead of poisoning `states`
                     # and surfacing past the fallback at a later sync.
-                    # Subsequent chunks of the same program skip the sync.
+                    # Proven programs are remembered per process, keyed on
+                    # the runner object (stable: the factories lru_cache
+                    # their runners), so repeat sample() calls don't pay
+                    # the sync's host round trip again (~50 ms each on the
+                    # tunneled dev box — it doubled the measured device
+                    # wall of sub-second fused runs in the first round-5
+                    # A/B regeneration).
                     jax.block_until_ready(new_states)
-                    _fused_synced.add((chunk, tuning, collect))
+                    _FUSED_PROVEN[id(runner)] = runner
                 states = new_states
             except Exception as e:
                 # Compile/runtime failure of a fused chunk (e.g. a Mosaic
@@ -1218,19 +1259,16 @@ def sample(
                         and isinstance(pot_template, QuadPotentialFullAdapt)))
         lowrank_ok = (bool(cross_chain_adapt)
                       and isinstance(pot_template, QuadPotentialLowRankAdapt))
-        # Measured election (AB_FUSED.json, BENCH_r04): the fused engine
-        # wins wherever lane packing applies (small-n: 1.2-3.5x) and on
-        # pooled/dense metrics (on-core pooled Welford + L^-1-matmul
-        # momentum: the 532k-ESS/s headline engine), but LOSES on
-        # unpacked per-chain diag configs (n ~ 100: 0.65-0.83x — its
-        # VMEM budget forces smaller chain blocks than the per-draw
-        # kernel's 512). Auto mode routes that one case to the per-draw
-        # engine; fuse_draws=True still forces the fused path.
-        if (fuse_draws is None and diag_ok and not cross_chain_adapt
+        # Measured election (see elect_fused_engine's docstring; the
+        # routing table is pinned to AB_FUSED.json by
+        # tests/test_engine_election.py). fuse_draws=True still forces
+        # the fused path.
+        if (fuse_draws is None and diag_ok
                 and not (dense_ok or lowrank_ok)):
             from .ops.nuts_trajectory_pallas import resolve_pack
 
-            if resolve_pack(effective_spec, model_ndim, local_chains) == 1:
+            pack = resolve_pack(effective_spec, model_ndim, local_chains)
+            if not elect_fused_engine("diag", bool(cross_chain_adapt), pack):
                 diag_ok = False
         # Auto mode consults the Mosaic capability probe (one-time, cached)
         # so an on-chip lowering regression degrades to the per-draw engine
@@ -1284,6 +1322,7 @@ def sample(
                     )
                     if len(_FUSED_FACTORY_CACHE) >= 64:
                         _FUSED_FACTORY_CACHE.clear()
+                        _FUSED_PROVEN.clear()  # runners die with factories
                     _FUSED_FACTORY_CACHE[cache_key] = fused_factory
                 except ValueError as e:
                     _log.info("Fused %s kernel unavailable (%s); using the "

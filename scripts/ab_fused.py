@@ -58,11 +58,22 @@ def run_arm(name, model, chains, tune, draws, target_accept, fuse, extra):
     # Warm every jitted program this shape will use (chunk lengths 250 /
     # tune-cap; factories and kernels are module-cached across calls).
     lmc.sample(tune=250, draws=250, perf_report={}, **common)
-    rep = {}
-    t0 = time.perf_counter()
-    trace, stats = lmc.sample(tune=tune, draws=draws, perf_report=rep,
-                              **common)
-    wall = time.perf_counter() - t0
+    # Repeat the timed run and take the min device time: the tunnel's
+    # dispatch jitter is additive noise on sub-second device walls (the
+    # first regeneration showed the SAME compiled program measuring
+    # 0.07s vs 0.18s across arms), and the min is the best estimate of
+    # the program's true cost. All repeats are recorded.
+    reps = []
+    wall = None
+    for _ in range(3):
+        rep = {}
+        t0 = time.perf_counter()
+        trace, stats = lmc.sample(tune=tune, draws=draws, perf_report=rep,
+                                  **common)
+        w = time.perf_counter() - t0
+        wall = w if wall is None else min(wall, w)
+        reps.append(rep)
+    rep = min(reps, key=lambda r: r["sample_seconds"])
     dev_s = rep["sample_seconds"]
     tps = chains * (tune + draws) / dev_s
     div = float(np.asarray(stats["diverging"]).mean())
@@ -76,6 +87,8 @@ def run_arm(name, model, chains, tune, draws, target_accept, fuse, extra):
     return {
         "engine": rep["engine"],
         "transitions_per_sec_device": round(tps, 1),
+        "device_sample_s_repeats": [round(r["sample_seconds"], 3)
+                                    for r in reps],
         "device_sample_s": round(dev_s, 3),
         "transfer_s": round(rep["transfer_seconds"], 2),
         "wall_s": round(wall, 2),
@@ -110,9 +123,16 @@ def main():
     only = sys.argv[1:] or None
     out = {"backend": jax.default_backend(),
            "timing": "device-only (sample(perf_report=...)); compile "
-                     "excluded by a warm run; transfer excluded",
+                     "excluded by a warm run; transfer excluded; min of "
+                     "3 repeats",
            "results": {}}
     path = os.path.join(REPO, "AB_FUSED.json")
+    if only and os.path.exists(path):
+        # partial re-run: merge into the existing artifact
+        with open(path) as f:
+            prev = json.load(f)
+        if "timing" in prev:  # same (round-5) format only
+            out["results"].update(prev.get("results", {}))
     for name, (model, chains, tune, draws, ta, extra) in configs.items():
         if only and name not in only:
             continue
