@@ -3,15 +3,20 @@
 The reference's only scaling axis is OS processes (at most `cores`
 chains active); here chains are vectorized lanes, so single-chip
 throughput should scale near-linearly until the VPU/MXU saturate.
-Device-only methodology (compile and host transfers excluded), 100-d
-correlated Gaussian. Two engines per chain count:
+Device-only methodology (compile and host transfers excluded, min of 2
+repeats), 100-d correlated Gaussian. Two engines per chain count:
 
 - per-draw diag (the round-1-3 headline engine): lock-step tails bound
   its scaling — every 512-chain block waits for its deepest tree, and
   E[max tree] grows with the block count.
-- fused pooled-dense (the round-4 headline engine): the pooled metric
-  collapses trees to near-uniform depth (lockstep efficiency 0.94), so
-  scaling is bounded by compute, not tails.
+- fused pooled-dense (the round-4+ headline engine, what auto elects on
+  this shape): run with the production tune chunking
+  (base.pooled_tune_schedule boundaries) — the round-3 sweep ran the
+  whole tune as ONE fused chunk, freezing the identity metric for 300
+  draws, which is neither the production path nor a fair measurement.
+
+Rows stamp the engine and chunking that produced them (VERDICT r4
+item 6).
 
 Run: python scripts/scaling_bench.py  (writes BENCH_SCALING.json)
 """
@@ -28,7 +33,17 @@ sys.path.insert(0, REPO)
 
 N = 100
 TUNE, DRAWS = 300, 300
+CHUNK = 300  # draw-phase / per-draw chunk length
 CHAIN_COUNTS = (256, 1024, 4096, 16384)
+
+
+def _timed(fn, repeats=2):
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -63,20 +78,22 @@ def main():
         states = init_fn(chain_keys, starts)
         tc = _make_chunk_runner(kernel, TUNE, True, False, False)
         dc = _make_chunk_runner(kernel, DRAWS, False, False, False)
-        s, _, _ = tc(states)
-        s2, _, _ = dc(s)
-        jax.block_until_ready(s2.q)
-        t0 = time.perf_counter()
-        s, _, _ = tc(states)
-        s2, _, _ = dc(s)
-        jax.block_until_ready(s2.q)
-        wall = time.perf_counter() - t0
+
+        def run_perdraw():
+            s, _, _ = tc(states)
+            s2, _, _ = dc(s)
+            jax.block_until_ready(s2.q)
+
+        run_perdraw()  # warm (compile)
+        wall = _timed(run_perdraw)
         row["per_draw_diag"] = {
+            "engine": "per_draw_diag",
+            "chunks": [TUNE, DRAWS],
             "device_seconds": round(wall, 2),
             "transitions_per_sec": round(chains * (TUNE + DRAWS) / wall, 1),
         }
 
-        # engine B: fused pooled-dense (the round-4 headline engine)
+        # engine B: fused pooled-dense with the production tune schedule
         try:
             pot_full = _make_adaptive_potential(N, jnp.zeros(N), "full",
                                                 jnp.float32)
@@ -86,17 +103,28 @@ def main():
             init_full = _make_init_fn(step.config, logp_grad, N, "full",
                                       jnp.float32, False)
             states_f = init_full(chain_keys, starts)
-            tcf = fac(TUNE, True, False)
+            sched = getattr(fac, "tune_chunk_schedule", None)
+            plan, t, runners = [], 0, {}
+            while t < TUNE:
+                c = min(TUNE - t, sched(t) if sched else CHUNK)
+                if c not in runners:
+                    runners[c] = fac(c, True, False)
+                plan.append((c, runners[c]))
+                t += c
             dcf = fac(DRAWS, False, False)
-            s, _, _ = tcf(states_f)
-            s2, _, _ = dcf(s)
-            jax.block_until_ready(s2.q)
-            t0 = time.perf_counter()
-            s, _, _ = tcf(states_f)
-            s2, _, _ = dcf(s)
-            jax.block_until_ready(s2.q)
-            wallf = time.perf_counter() - t0
+
+            def run_fused():
+                s = states_f
+                for _, r in plan:
+                    s, _, _ = r(s)
+                s2, _, _ = dcf(s)
+                jax.block_until_ready(s2.q)
+
+            run_fused()  # warm (compiles every distinct chunk length)
+            wallf = _timed(run_fused)
             row["fused_dense_pooled"] = {
+                "engine": "fused_dense_pooled",
+                "chunks": [c for c, _ in plan] + [DRAWS],
                 "device_seconds": round(wallf, 2),
                 "transitions_per_sec": round(
                     chains * (TUNE + DRAWS) / wallf, 1),
@@ -106,6 +134,13 @@ def main():
 
         results[str(chains)] = row
         print(json.dumps(row), flush=True)
+        with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+            json.dump({"device": str(jax.devices()[0]), "ndim": N,
+                       "tune": TUNE, "draws": DRAWS,
+                       "timing": "device-only, min of 2 repeats, compile "
+                                 "excluded; fused tune uses the production "
+                                 "boundary schedule",
+                       "results": results}, f, indent=2)
 
     base_c = CHAIN_COUNTS[0]
     for eng in ("per_draw_diag", "fused_dense_pooled"):
@@ -121,8 +156,11 @@ def main():
     out = os.path.join(REPO, "BENCH_SCALING.json")
     with open(out, "w") as f:
         json.dump({"device": str(jax.devices()[0]), "ndim": N,
-                   "tune": TUNE, "draws": DRAWS, "results": results}, f,
-                  indent=2)
+                   "tune": TUNE, "draws": DRAWS,
+                   "timing": "device-only, min of 2 repeats, compile "
+                             "excluded; fused tune uses the production "
+                             "boundary schedule",
+                   "results": results}, f, indent=2)
     print("wrote", out)
 
 
