@@ -45,8 +45,12 @@ def main():
         pallas_trajectory=model.pallas_trajectory_spec(),
         compute_convergence_checks=False, discard_tuned_samples=False,
     )
-    # warm every program (tune cap 50 + draw chunks 250)
-    lmc.sample(tune=100, draws=250, progress_every=250, perf_report={},
+    # warm every program: the full tune length, so every scheduled
+    # chunk length ({10, 30, 50, 100}) compiles here and not inside a
+    # timed row (the first probe run showed a 3.3 s compile folded into
+    # the 100->200 row because the warm tune=100 never reached a
+    # 100-length chunk)
+    lmc.sample(tune=TUNE, draws=250, progress_every=250, perf_report={},
                **common)
 
     chunks = []
