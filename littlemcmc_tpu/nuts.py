@@ -1098,6 +1098,7 @@ def build_fused_nuts_runner_factory(
         op = build_fused_nuts_op(
             trajectory_spec, model_ndim, chunk, bool(tuning),
             adapt_metric, config, window_multiplier,
+            chain_block=(config.chain_block or 256),
             interpret=interpret, pack=pack, collect_trace=bool(collect),
             metric=metric, adapt_dense=adapt_dense, lowrank_k=lowrank_k,
         )

@@ -578,7 +578,9 @@ def _make_runner(kernel, tune: int, draws: int, collect_tune: bool,
                     potential=cross_chain_potential_pool(
                         s2.potential, jnp.asarray(tuning), samples=s2.q)
                 )
-            ndiv = ndiv + jnp.sum(info.diverging).astype(jnp.int32)
+            # dtype pinned: under enable_x64 a bare sum(bool) is int64,
+            # which breaks the int32 scan carry (f64 + chunked execution)
+            ndiv = ndiv + jnp.sum(info.diverging, dtype=jnp.int32).astype(jnp.int32)
             if live_every:
                 # also emit at the phase end so the tune->draw boundary
                 # never opens a gap wider than live_every draws
@@ -626,7 +628,9 @@ def _make_chunk_runner(kernel, chunk: int, tuning: bool, collect: bool,
                     potential=cross_chain_potential_pool(
                         s2.potential, jnp.asarray(tuning), samples=s2.q)
                 )
-            ndiv = ndiv + jnp.sum(info.diverging)
+            # dtype pinned: under enable_x64 a bare sum(bool) is int64,
+            # which breaks the int32 scan carry (f64 + chunked execution)
+            ndiv = ndiv + jnp.sum(info.diverging, dtype=jnp.int32)
             return (s2, ndiv), ((s2.q, info) if collect else None)
 
         (states2, ndiv), out = lax.scan(
@@ -662,12 +666,12 @@ def elect_fused_engine(metric: str, pooled: bool, pack: int) -> bool:
     config's measured winner):
 
     - dense metrics (static or pooled): **fused** — the pooled-dense
-      flagship measures fused/per-draw = 15.8x at 1024 chains, 11.7x at
+      flagship measures fused/per-draw = 14.7x at 1024 chains, 11.5x at
       256 (momentum via an L^-1 matmul + boundary-cadence pooled
       Welford, vs per-draw triangular solves and every-draw pooling);
     - pooled low-rank: **fused** (same boundary-cadence structure);
     - diagonal metrics: fused only where lane packing applies
-      (``pack > 1``, small-n models: 1.03-2.4x) — an *unpacked* diag
+      (``pack > 1``, small-n models: 1.02-1.33x) — an *unpacked* diag
       config (n ~ 100) loses in the fused engine (0.93-0.95x: its VMEM
       budget forces smaller chain blocks than the per-draw kernel's
       512), whether the adaptation is per-chain or cross-chain pooled

@@ -61,3 +61,46 @@ def test_sample_float64_end_to_end():
     )
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     assert "x64 OK" in proc.stdout
+
+
+_X64_CHUNKED_WORKER = r"""
+import os
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import sys
+sys.path.insert(0, {repo!r})
+import jax.numpy as jnp
+import littlemcmc_tpu as lmc
+
+
+def logp_grad(q):
+    return -0.5 * jnp.sum(q ** 2), -q
+
+
+# progress_every forces the chunked runner: its lax.scan carries an
+# int32 divergence counter, and under enable_x64 a bare sum(bool) is
+# int64 — the promotion broke the carry (regression: round-5 funnel
+# f64 arm)
+trace, stats = lmc.sample(
+    logp_dlogp_func=logp_grad, model_ndim=3, chains=8,
+    tune=100, draws=100, random_seed=5, progressbar=False,
+    dtype=jnp.float64, progress_every=50,
+    compute_convergence_checks=False,
+)
+assert trace.dtype == "float64", trace.dtype
+assert trace.shape == (8, 100, 3)
+print("x64 chunked OK")
+"""
+
+
+def test_sample_float64_chunked():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _X64_CHUNKED_WORKER.format(repo=REPO)],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "x64 chunked OK" in proc.stdout
