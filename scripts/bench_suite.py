@@ -84,6 +84,8 @@ def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=
             chains * (tune + draws) / rep.get("sample_seconds", wall), 1),
         "min_ess_bulk": round(float(np.nanmin(ess)), 1),
         "ess_per_sec_min_dim": round(float(np.nanmin(ess) / wall), 1),
+        "ess_per_device_sec_min_dim": round(
+            float(np.nanmin(ess) / rep.get("sample_seconds", wall)), 1),
         "max_rhat": round(float(np.nanmax(rhat)), 4),
         "divergence_rate": round(float(stats["diverging"].mean()), 5),
         "mean_depth": round(float(

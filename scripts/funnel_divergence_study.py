@@ -8,10 +8,12 @@ time (each arm = one subprocess, because x64 is a process-start flag):
 
 - arm xla_f32_t090 vs xla_f64_t090: **precision** at a fixed engine
   (the reference is f64 end-to-end; f32 gradient error in the neck's
-  e^{-v} curvature can produce spurious |dE| > Emax).
-- arm pallas_f32_t090 vs xla_f32_t090: **engine accounting** (the
-  shipped VALIDATION row ran the Pallas lane-packed kernel).
-- arm xla_f32_t095: **step size** (smaller step = fewer divergences at
+  e^{-v} curvature can produce spurious |dE| > Emax). The XLA tree
+  kernel is the only engine with an f64 path, so the f32 side of the
+  pair runs it too.
+- arm auto_f32_t090: what ships (auto election; engine stamped from
+  perf_report) — the VALIDATION config-4 row as users get it.
+- arm auto_f32_t095: **step size** (smaller step = fewer divergences at
   equal geometry).
 - every arm also decomposes P(div) = P(neck) * P(div|neck) + ... with
   neck := v < -2 (exact occupancy would be Phi(-2/3) = 0.2525): if our
@@ -33,11 +35,14 @@ sys.path.insert(0, REPO)
 CHAINS, TUNE, DRAWS = 512, 1000, 3000
 
 ARMS = {
-    # name: (pallas, f64, target_accept)
-    "xla_f32_t090": (False, False, 0.9),
-    "xla_f64_t090": (False, True, 0.9),
-    "pallas_f32_t090": (True, False, 0.9),
-    "xla_f32_t095": (False, False, 0.95),
+    # name: (forced_engine, f64, target_accept); forced_engine None =
+    # what ships (auto election -> fused lane-packed diag on this n=10
+    # model), "xla" = pallas_trajectory=None + fuse_draws=False (the
+    # pure XLA tree kernel, the only engine with an f64 path)
+    "auto_f32_t090": (None, False, 0.9),
+    "xla_f32_t090": ("xla", False, 0.9),
+    "xla_f64_t090": ("xla", True, 0.9),
+    "auto_f32_t095": (None, False, 0.95),
 }
 
 
@@ -45,7 +50,11 @@ def run_arm(name):
     import numpy as np
     import jax
 
-    pallas, f64, target = ARMS[name]
+    def _fmean(x):
+        a = np.asarray(x, dtype=np.float64)
+        return float(a[np.isfinite(a)].mean())
+
+    engine, f64, target = ARMS[name]
     if f64:
         assert jax.config.jax_enable_x64, "f64 arm needs JAX_ENABLE_X64=1"
     import jax.numpy as jnp
@@ -60,19 +69,21 @@ def run_arm(name):
         target_accept=target, compute_convergence_checks=False,
         progress_every=1000,
     )
-    if pallas:
-        common["pallas_trajectory"] = fm.pallas_trajectory_spec()
+    if engine == "xla":
+        common["pallas_trajectory"] = None
+        common["fuse_draws"] = False
     if f64:
         common["dtype"] = jnp.float64
+    rep = {}
     t0 = time.perf_counter()
-    trace, stats = lmc.sample(**common)
+    trace, stats = lmc.sample(perf_report=rep, **common)
     wall = time.perf_counter() - t0
     tr = np.asarray(trace)
     v = tr[:, :, 0]  # (chains, draws)
     div = np.asarray(stats["diverging"])
     neck = v < -2.0
     row = {
-        "engine": "pallas" if pallas else "xla_tree",
+        "engine": rep.get("engine"),
         "dtype": "float64" if f64 else "float32",
         "target_accept": target,
         "wall_s": round(wall, 1),
@@ -81,11 +92,13 @@ def run_arm(name):
         "v_std": round(float(v.std()), 3),
         "v_q05": round(float(np.percentile(v, 5)), 3),
         "v_q95": round(float(np.percentile(v, 95)), 3),
-        "mean_accept": round(float(
-            np.asarray(stats["mean_tree_accept"]).mean()), 4),
+        # finite-masked: a tree whose first doubling diverges leaves only
+        # the initial state, and the reference's own mean_tree_accept
+        # formula (exp(lwas - logdiffexp(log_size, 0))) is inf there —
+        # one such draw poisons a plain mean (seen on the f64 arm)
+        "mean_accept": round(_fmean(stats["mean_tree_accept"]), 4),
         "mean_depth": round(float(np.asarray(stats["depth"]).mean()), 3),
-        "mean_final_step": round(float(
-            np.asarray(stats["step_size"]).mean()), 5),
+        "mean_final_step": round(_fmean(stats["step_size"]), 5),
         "p_neck": round(float(neck.mean()), 5),
         "p_div_given_neck": round(
             float(div[neck].mean()) if neck.any() else 0.0, 5),
