@@ -156,24 +156,56 @@ def main():
         annotations={"note": "QuadPotentialLowRankAdapt, pooled cross-chain "
                      "subspace iteration (auto-promoted at >=128 chains)"},
     )
+    def _centered_funnel_metrics(trace, stats):
+        # Reference-anchored decomposition (FUNNEL_DIVERGENCE_STUDY.json):
+        # divergences on the centered funnel live in the neck (v < -2),
+        # and the marginal rate is exploration-weighted — every measured
+        # arm (f32/f64, fused/per-draw, target 0.9/0.95) holds
+        # P(div | v >= -2) at 0.016-0.018 while the neck term moves with
+        # how deep the sampler actually goes. The reference's lower
+        # marginal rate (0.0175) comes with v_q05 = -1.86 vs our ~-3.1
+        # against the exact -4.94: it diverges less because it explores
+        # less. So the gate conditions on the region the reference
+        # actually samples, plus a coverage floor at the reference's own
+        # v_std.
+        v = trace[:, :, 0]
+        div = np.asarray(stats["diverging"])
+        neck = v < -2.0
+        return {
+            "v_std": round(float(v.std()), 3),
+            "v_q05": round(float(np.percentile(v, 5)), 3),
+            "p_neck": round(float(neck.mean()), 5),
+            "p_div_given_neck": round(
+                float(div[neck].mean()) if neck.any() else 0.0, 5),
+            "p_div_given_not_neck": round(float(div[~neck].mean()), 5),
+        }
+
     results["funnel_10d"] = run_config(
         "Neal's funnel 10-d, centered (config 3) — STRESS CONFIG",
         models.NealsFunnel(10),
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
         target_accept=0.9,
+        extra_metrics=_centered_funnel_metrics,
         annotations={
             # The centered parameterization is the standard divergence
             # stress test: NO sampler with a fixed step size traverses
-            # the funnel's neck unbiased. Expected envelope measured
-            # against the reference's own sequential path (VALIDATION.md
-            # config 4): v-std ~2.5 vs exact 3.0 here, ~2.1 for the
-            # reference; R-hat > 1.1 and a few % divergences are the
-            # config working as intended, not a regression. The
-            # non-centered row below is the production parameterization
-            # and gates at R-hat < 1.05.
+            # the funnel's neck unbiased. The non-centered row below is
+            # the production parameterization and gates at R-hat < 1.05.
             "stress_config": True,
-            "expected_envelope": {"max_rhat": "<= 1.35",
-                                  "divergence_rate": "<= 0.05"},
+            # Reference-anchored gates (tightened round 5, was a flat
+            # div <= 5% envelope): out-of-neck divergence behavior must
+            # match the measured cross-arm band, and neck *coverage*
+            # must be at least the reference's — a sampler can always
+            # buy a lower marginal rate by not entering the neck.
+            "expected_envelope": {
+                "max_rhat": "<= 1.35",
+                "p_div_given_not_neck": "<= 0.025 (measured 0.016-0.018 "
+                "across engines/dtypes/targets; reference-comparable "
+                "region v >= -2)",
+                "v_std": ">= 2.13 (the reference's own coverage)",
+                "divergence_rate": "<= 0.045 (marginal; "
+                "exploration-weighted, see FUNNEL_DIVERGENCE_STUDY.json)",
+            },
         },
     )
 
