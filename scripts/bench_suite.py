@@ -107,23 +107,46 @@ def run_config(name, model, chains, tune, draws, init="jitter+adapt_diag", seed=
 
 def main():
     small = "--small" in sys.argv
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     import jax
     from littlemcmc_tpu import models
 
     scale = 4 if small else 1
     results = {}
+    out_path = os.path.join(REPO, "BENCH_SUITE.json")
+    if only and os.path.exists(out_path):
+        # partial re-run: merge into the existing artifact
+        with open(out_path) as f:
+            prev = json.load(f)
+        results.update(prev.get("results", prev))
 
-    results["std_normal_1d"] = run_config(
-        "1D standard normal (config 1)", models.StandardNormal(1),
+    def _dump():
+        # incremental: a crashed late config (e.g. a relay-side compile
+        # failure) loses nothing
+        meta = {"backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+                "results": results}
+        with open(out_path, "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def _run(key, *a, **kw):
+        if only and key not in only:
+            return
+        try:
+            results[key] = run_config(*a, **kw)
+        except Exception as e:
+            results[key] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# {key} failed: {e}", flush=True)
+        _dump()
+
+    _run("std_normal_1d", "1D standard normal (config 1)", models.StandardNormal(1),
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
     )
-    results["corr_gaussian_100d_diag"] = run_config(
-        "100-d correlated Gaussian, diag adapt (config 2a)",
+    _run("corr_gaussian_100d_diag", "100-d correlated Gaussian, diag adapt (config 2a)",
         models.CorrelatedGaussian(100),
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
     )
-    results["corr_gaussian_100d_full"] = run_config(
-        "100-d correlated Gaussian, full adapt (config 2b)",
+    _run("corr_gaussian_100d_full", "100-d correlated Gaussian, full adapt (config 2b)",
         models.CorrelatedGaussian(100),
         chains=256 // scale, tune=500 // scale, draws=1000 // scale,
         # explicit False: this row is the reference-parity per-chain
@@ -133,22 +156,19 @@ def main():
         annotations={"estimator": "per-chain (reference parity); "
                      "auto-promotion would select the pooled row below"},
     )
-    results["corr_gaussian_100d_full_pooled"] = run_config(
-        "100-d corr Gaussian, cross-chain pooled full adapt (extension)",
+    _run("corr_gaussian_100d_full_pooled", "100-d corr Gaussian, cross-chain pooled full adapt (extension)",
         models.CorrelatedGaussian(100),
         chains=256 // scale, tune=500 // scale, draws=1000 // scale,
         init="jitter+adapt_full", cross_chain_adapt=True,
     )
-    results["spiked_gaussian_100d_diag"] = run_config(
-        "100-d spiked Gaussian, diag adapt (contrast row for adapt_lowrank)",
+    _run("spiked_gaussian_100d_diag", "100-d spiked Gaussian, diag adapt (contrast row for adapt_lowrank)",
         models.SpikedGaussian(100),
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
         pallas=False,  # no hand spec; the TPU auto-lowering path applies
         annotations={"note": "diag metric cannot model the spikes; "
                      "expect trees ~1.5 levels deeper than the lowrank row"},
     )
-    results["spiked_gaussian_100d_lowrank"] = run_config(
-        "100-d spiked Gaussian, low-rank+diag adapt (extension)",
+    _run("spiked_gaussian_100d_lowrank", "100-d spiked Gaussian, low-rank+diag adapt (extension)",
         models.SpikedGaussian(100),
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
         init="jitter+adapt_lowrank",
@@ -180,8 +200,7 @@ def main():
             "p_div_given_not_neck": round(float(div[~neck].mean()), 5),
         }
 
-    results["funnel_10d"] = run_config(
-        "Neal's funnel 10-d, centered (config 3) — STRESS CONFIG",
+    _run("funnel_10d", "Neal's funnel 10-d, centered (config 3) — STRESS CONFIG",
         models.NealsFunnel(10),
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
         target_accept=0.9,
@@ -222,26 +241,22 @@ def main():
         return metrics
 
     ncf = models.NonCenteredFunnel(10)
-    results["funnel_10d_noncentered"] = run_config(
-        "Neal's funnel 10-d, non-centered (config 3, production form)",
+    _run("funnel_10d_noncentered", "Neal's funnel 10-d, non-centered (config 3, production form)",
         ncf,
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
         extra_metrics=_funnel_space_metrics(ncf),
         annotations={"gate": "max_rhat < 1.05"},
     )
-    results["logistic_25p"] = run_config(
-        "Logistic regression 25 params (config 4)", models.LogisticRegression(),
+    _run("logistic_25p", "Logistic regression 25 params (config 4)", models.LogisticRegression(),
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
     )
-    results["eight_schools_10k_chains"] = run_config(
-        "Eight schools non-centered, 10k chains (config 5)", models.EightSchools(),
+    _run("eight_schools_10k_chains", "Eight schools non-centered, 10k chains (config 5)", models.EightSchools(),
         chains=10240 // scale, tune=500 // scale, draws=500 // scale,
         # Hierarchical geometry: the default 0.8 yields ~20% divergent
         # transitions and a biased posterior; 0.95 brings it under 2%.
         target_accept=0.95,
     )
-    results["hierarchical_regression"] = run_config(
-        "Group-indexed hierarchical regression, 42-d (auto-lowered gather)",
+    _run("hierarchical_regression", "Group-indexed hierarchical regression, 42-d (auto-lowered gather)",
         models.HierarchicalRegression(),
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
         target_accept=0.9,
@@ -249,8 +264,7 @@ def main():
                      "MXU matmuls inside the trajectory kernel"},
     )
     sv = models.StochasticVolatility(T=500)
-    results["stochastic_volatility_503d"] = run_config(
-        "Stochastic volatility, T=500 (503 params, centered AR(1) states)",
+    _run("stochastic_volatility_503d", "Stochastic volatility, T=500 (503 params, centered AR(1) states)",
         sv,
         chains=1024 // scale, tune=500 // scale, draws=1000 // scale,
         target_accept=0.95, pallas=False,  # no hand spec; auto path applies
@@ -258,8 +272,7 @@ def main():
                      "sigma-latent coupling; globals gate convergence",
                      "gate": "divergence_rate < 0.05"},
     )
-    results["eight_schools_hmc"] = run_config(
-        "Eight schools, classic HMC via the Pallas HMC kernel (C19)",
+    _run("eight_schools_hmc", "Eight schools, classic HMC via the Pallas HMC kernel (C19)",
         models.EightSchools(),
         chains=10240 // scale, tune=500 // scale, draws=500 // scale,
         target_accept=0.95, step_method="hmc",
