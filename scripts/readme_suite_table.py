@@ -23,9 +23,9 @@ LABELS = {
     "funnel_10d": "Neal's funnel 10-d (centered, stress)",
     "funnel_10d_noncentered": "— non-centered (production form)",
     "logistic_25p": "logistic regression 25p",
-    "eight_schools_10k": "eight schools NUTS, `target_accept=0.95`",
+    "eight_schools_10k_chains": "eight schools NUTS, `target_accept=0.95`",
     "hierarchical_regression": "hierarchical regression 42-d (gather model)",
-    "stochastic_volatility": "stochastic volatility 503-d",
+    "stochastic_volatility_503d": "stochastic volatility 503-d",
     "eight_schools_hmc": "eight schools classic HMC (Pallas HMC kernel)",
 }
 
@@ -33,6 +33,8 @@ LABELS = {
 def _k(x):
     if x is None:
         return "—"
+    if x >= 1e6:
+        return f"{x / 1e6:.2f}M"
     return f"{x / 1000:.1f}k" if x >= 1000 else f"{x:.0f}"
 
 
@@ -47,12 +49,18 @@ def main():
         r = rows.get(key)
         if r is None:
             continue
+        tps = r.get("transitions_per_device_sec")
+        ess = r.get("ess_per_device_sec_min_dim")
+        star = ""
+        if tps is None:  # carried row without the device split: warm wall
+            tps, ess, star = (r.get("transitions_per_sec"),
+                              r.get("ess_per_sec_min_dim"), "\u2020")
         div = r.get("divergence_rate", 0.0)
         div_s = "0" if div == 0 else f"{100 * div:.1f}%"
         var = r.get("var_ratio_mean")
-        print(f"| {label} | {r['chains']} | {r.get('engine', '—')} "
-              f"| {_k(r.get('transitions_per_device_sec'))} "
-              f"| {_k(r.get('ess_per_device_sec_min_dim'))} "
+        print(f"| {label} | {r['chains']} | {r.get('engine', '—')}{star} "
+              f"| {_k(tps)}{star} "
+              f"| {_k(ess)}{star} "
               f"| {r.get('max_rhat', float('nan')):.3f} | {div_s} "
               f"| {var if var is not None else '—'} |")
 
