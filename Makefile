@@ -1,7 +1,14 @@
 .PHONY: test test-fast test-tpu doctest bench baseline lint
 
+# Three serial shards, each a fresh process: the XLA CPU compiler
+# segfaults after a few hundred accumulated in-process compilations
+# (reproduced at different suite positions in round 5 — cumulative, not
+# test-specific; every crashing test passes in a fresh process), and the
+# round-5 pooled tune schedule raised the per-test compile count.
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/test_[a-f]*.py -q
+	python -m pytest tests/test_[g-m]*.py -q
+	python -m pytest tests/test_[n-z]*.py -q
 	python -m pytest --doctest-modules littlemcmc_tpu -q
 
 test-fast:
