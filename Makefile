@@ -17,7 +17,7 @@ test-fast:
 # Run the TPU-gated Pallas trajectory-kernel tests on the real chip
 # (they are skipped under the default CPU-forced suite).
 test-tpu:
-	LMC_TEST_PLATFORM=tpu python -m pytest tests/test_trajectory_pallas.py tests/test_autospec.py tests/test_hmc_pallas.py tests/test_fused_nuts.py -q -rs
+	LMC_TEST_PLATFORM=tpu python -m pytest tests/test_trajectory_pallas.py tests/test_autospec.py tests/test_hmc_pallas.py tests/test_fused_nuts.py tests/test_checkpoint.py tests/test_engine_election.py -q -rs
 
 doctest:
 	python -m pytest --doctest-modules littlemcmc_tpu -q
